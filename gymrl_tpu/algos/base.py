@@ -1,0 +1,144 @@
+"""Shared trainer scaffolding.
+
+The reference's duck-typed agent contract (choose_action/evaluate/update —
+utils/runner.py:115-151) becomes, TPU-side, a `Trainer` exposing:
+
+  * ``init(key) -> TrainState``      — build params/opt/replay/env pytree
+  * ``train_iter(ts) -> (ts, IterOut)`` — PURE, jittable: scan of
+    `steps_per_iter` fused env-step→store→update iterations
+  * ``policy(params, obs, key, deterministic) -> action`` — for eval
+
+One `train_iter` call is the only host↔device boundary; the reference's
+per-step host loop (SURVEY.md §3.1) lives inside it as `lax.scan`.
+"""
+
+from __future__ import annotations
+
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+
+class IterOut(NamedTuple):
+    """Per-iteration outputs fetched to host at coarse cadence.
+
+    Episode stats are sparse: `ep_return[t, b]` is valid where
+    `ep_done[t, b]`; the runner reduces them into the avg-100 window that
+    drives the reference's solve checks (e.g. dqn_cartpole.py:199-207).
+    """
+
+    ep_return: jax.Array  # f32[T, B]
+    ep_length: jax.Array  # i32[T, B]
+    ep_done: jax.Array  # bool[T, B]
+    metrics: dict[str, jax.Array]  # scalars, already averaged over the iter
+
+
+def hard_update(target_params, online_params):
+    return jax.tree_util.tree_map(lambda t, o: o, target_params, online_params)
+
+
+def soft_update(target_params, online_params, tau: float):
+    """Polyak update (reference rainbow_dqn_cartpole.py:347-352 et al.)."""
+    return jax.tree_util.tree_map(
+        lambda t, o: (1.0 - tau) * t + tau * o, target_params, online_params
+    )
+
+
+def clip_grads_by_value(grads, clip: float):
+    """Per-parameter gradient clamp ±clip (reference dqn_cartpole.py:163-165)."""
+    return jax.tree_util.tree_map(lambda g: jnp.clip(g, -clip, clip), grads)
+
+
+def adam(lr, eps: float = 1e-8, clip_norm: float | None = None):
+    """Adam with optional global-norm clipping; lr may be a schedule."""
+    tx = [optax.clip_by_global_norm(clip_norm)] if clip_norm else []
+    tx.append(optax.adam(lr, eps=eps))
+    return optax.chain(*tx)
+
+
+def masked_mean(x: jax.Array, mask: jax.Array, eps: float = 1e-8) -> jax.Array:
+    """Mean over entries where mask (reference ppo_lstm_lunarlander.py:646-655)."""
+    mask = mask.astype(x.dtype)
+    return jnp.sum(x * mask) / (jnp.sum(mask) + eps)
+
+
+class Trainer:
+    """Base: holds cfg + static net/env; subclasses implement the API.
+
+    Contract (the TPU-side of the reference's duck-typed agent,
+    utils/runner.py:115-151):
+      * ``init(key) -> TrainState``
+      * ``train_iter(ts) -> (ts, IterOut)`` — pure + jitted
+      * ``policy(ts, obs, key, deterministic) -> action`` — batched; must
+        apply the trainer's own observation normalization (frozen stats).
+    """
+
+    def __init__(self, cfg):
+        self.cfg = cfg
+
+    def init(self, key) -> Any:
+        raise NotImplementedError
+
+    def train_iter(self, ts) -> tuple[Any, IterOut]:
+        raise NotImplementedError
+
+    def policy(self, ts, obs, key, deterministic: bool = True):
+        raise NotImplementedError
+
+    def eval_episodes(self, ts, key, n_episodes: int):
+        """Deterministic eval: n parallel fresh episodes, scan to termination.
+
+        Replaces the reference's sequential eval loop
+        (utils/runner.py:169-184) with one jitted batched rollout; rewards
+        accumulate only until each instance's first done (latched mask).
+        Returns (returns[f32[n]], lengths[i32[n]]).
+        """
+        env = self.venv.env
+        params = self.venv.params
+        fn = _eval_cache_get(self, env, params, n_episodes)
+        return fn(ts, key)
+
+
+def _eval_rollout(trainer, env, params, n_episodes, ts, key):
+    k_reset, k_roll = jax.random.split(key)
+    keys = jax.random.split(k_reset, n_episodes)
+    state, obs = jax.vmap(env.reset, in_axes=(None, 0))(params, keys)
+
+    def body(carry, k):
+        state, obs, done, ret, length = carry
+        k_act, k_step = jax.random.split(k)
+        action = trainer.policy(ts, obs, k_act, deterministic=True)
+        step_keys = jax.random.split(k_step, n_episodes)
+        sr = jax.vmap(env.step, in_axes=(None, 0, 0, 0))(params, state, action, step_keys)
+        alive = jnp.logical_not(done)
+        ret = ret + sr.reward * alive
+        length = length + alive.astype(jnp.int32)
+        done = done | sr.terminated | sr.truncated
+        return (sr.state, sr.obs, done, ret, length), None
+
+    init = (
+        state,
+        obs,
+        jnp.zeros((n_episodes,), bool),
+        jnp.zeros((n_episodes,), jnp.float32),
+        jnp.zeros((n_episodes,), jnp.int32),
+    )
+    keys = jax.random.split(k_roll, env.max_steps)
+    (_, _, _, returns, lengths), _ = jax.lax.scan(body, init, keys)
+    return returns, lengths
+
+
+_EVAL_CACHE: dict = {}
+
+
+def _eval_cache_get(trainer, env, params, n_episodes):
+    cache_key = (id(trainer), n_episodes)
+    if cache_key not in _EVAL_CACHE:
+        from functools import partial
+
+        _EVAL_CACHE[cache_key] = jax.jit(
+            partial(_eval_rollout, trainer, env, params, n_episodes)
+        )
+    return _EVAL_CACHE[cache_key]

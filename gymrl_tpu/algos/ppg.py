@@ -1,0 +1,186 @@
+"""PPG (Phasic Policy Gradient) with GRU — the ppg_rnn_lunarlander workload.
+
+Algorithm parity with reference algorithms/ppg_rnn_lunarlander.py:
+  * network = the recurrent PPO net plus an auxiliary value head
+    ``aux_critic_fc`` = MLP[256, 32, 1] (:143-176)
+  * phase 1 = 10 standard recurrent-PPO epochs (dual-clip, value MSE ·0.5,
+    entropy 1e-2) — identical to ppo_rnn (:333-370)
+  * phase 2 = 6 auxiliary epochs minimizing
+    ``MSE(v_target, aux_value) + β_clone·MSE(new_logp(a), old_logp(a))``
+    with β_clone = 1.0 (:372-393); both phases share one Adam optimizer
+  * γ = 0.995 (:46), everything else inherits the ppo_rnn defaults
+
+Implementation: subclass of PPORNNTrainer — the net gains the aux head
+(ignored by phase 1 through the `_apply_cell` hook), and `train_iter`
+appends the phase-2 scan after the inherited phase-1 logic.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import optax
+import flax.linen as nn
+
+from gymrl_tpu.algos.base import IterOut
+from gymrl_tpu.algos.ppo_rnn import (
+    PPORNNConfig,
+    PPORNNTrainer,
+    RNNTrainState,
+)
+from gymrl_tpu.core.gae import compute_gae, standardize
+from gymrl_tpu.nn.layers import MLP, PSCN
+from gymrl_tpu.nn.recurrent import MLPRNNCell
+
+
+@dataclass(frozen=True)
+class PPGConfig(PPORNNConfig):
+    gamma: float = 0.995  # ppg_rnn_lunarlander.py:46
+    aux_epochs: int = 6
+    beta_clone: float = 1.0
+
+
+class PPGActorCritic(nn.Module):
+    """Recurrent net + aux value head (ppg_rnn_lunarlander.py:143-176)."""
+
+    n_actions: int
+    feature_dim: int = 256
+
+    @nn.compact
+    def __call__(self, h, obs):
+        x = PSCN(self.feature_dim, name="fc_head")(obs)
+        h, out = MLPRNNCell(self.feature_dim, name="rnn")(h, x)
+        logits = MLP([64, self.n_actions], name="actor_fc")(out)
+        value = MLP([32, 1], name="critic_fc")(out).squeeze(-1)
+        aux_value = MLP([32, 1], name="aux_critic_fc")(out).squeeze(-1)
+        return h, logits, value, aux_value
+
+    @property
+    def rnn_size(self) -> int:
+        return self.feature_dim // 4
+
+
+class PPGTrainer(PPORNNTrainer):
+    def __init__(self, cfg: PPGConfig):
+        super().__init__(cfg)
+        self.net = PPGActorCritic(self.venv.env.n_actions, cfg.feature_dim)
+
+    def _apply_cell(self, params, h, x):
+        h, logits, value, _aux = self.net.apply(params, h, x)
+        return h, logits, value
+
+    # -- phase 2 --------------------------------------------------------------
+    def _aux_seq_forward(self, params, h0, obs_seq):
+        def step(h, x):
+            h, logits, _value, aux = self.net.apply(params, h, x)
+            return h, (logits, aux)
+
+        _, (logits, aux) = jax.lax.scan(step, h0, jnp.swapaxes(obs_seq, 0, 1))
+        return jnp.swapaxes(logits, 0, 1), jnp.swapaxes(aux, 0, 1)
+
+    def _aux_loss(self, params, mb):
+        logits, aux_values = self._aux_seq_forward(params, mb["h0"], mb["obs"])
+        logp_all = jax.nn.log_softmax(logits)
+        logp = jnp.take_along_axis(logp_all, mb["action"][..., None], axis=-1).squeeze(-1)
+        aux_value_loss = jnp.mean(jnp.square(aux_values - mb["v_target"]))
+        clone_loss = jnp.mean(jnp.square(logp - mb["logp"]))
+        loss = aux_value_loss + self.cfg.beta_clone * clone_loss
+        return loss, {"aux_value_loss": aux_value_loss, "clone_loss": clone_loss}
+
+    @partial(jax.jit, static_argnums=0)
+    def train_iter(self, ts: RNNTrainState) -> tuple[RNNTrainState, IterOut]:
+        cfg = self.cfg
+        # -- phase 1: identical pipeline to recurrent PPO
+        vec_state, hidden, obs_rms, scaler, key, roll, (ep_ret, ep_len, ep_done) = (
+            self._collect(ts)
+        )
+        flat_h = roll.h_post.reshape(-1, roll.h_post.shape[-1])
+        flat_next = roll.next_obs.reshape(-1, roll.next_obs.shape[-1])
+        _, _, next_values = self._apply_cell(ts.params, flat_h, flat_next)
+        next_values = next_values.reshape(roll.value.shape)
+
+        adv, v_target = compute_gae(
+            roll.reward, roll.value, next_values, roll.terminated, roll.done,
+            cfg.gamma, cfg.gae_lambda,
+        )
+        adv = standardize(adv)
+
+        L = cfg.seq_len
+        n_chunks = cfg.rollout_steps // L
+
+        def to_seq(x):
+            x = x.reshape((n_chunks, L) + x.shape[1:])
+            x = jnp.moveaxis(x, 2, 1)
+            return x.reshape((n_chunks * cfg.num_envs, L) + x.shape[3:])
+
+        data = {
+            "obs": to_seq(roll.obs),
+            "action": to_seq(roll.action),
+            "logp": to_seq(roll.logp),
+            "adv": to_seq(adv),
+            "v_target": to_seq(v_target),
+            "h0": to_seq(roll.h_pre)[:, 0],
+        }
+        n_seqs = cfg.seqs_per_rollout
+        mb_size = n_seqs // cfg.num_minibatches
+
+        def phase1_epoch(carry, k_epoch):
+            params, opt_state = carry
+            perm = jax.random.permutation(k_epoch, n_seqs).reshape(cfg.num_minibatches, mb_size)
+
+            def minibatch(carry, idx):
+                params, opt_state = carry
+                mb = jax.tree_util.tree_map(lambda x: x[idx], data)
+                (loss, metrics), grads = jax.value_and_grad(self._loss, has_aux=True)(
+                    params, mb
+                )
+                updates, opt_state = self.tx.update(grads, opt_state, params)
+                params = optax.apply_updates(params, updates)
+                return (params, opt_state), metrics
+
+            (params, opt_state), metrics = jax.lax.scan(minibatch, (params, opt_state), perm)
+            return (params, opt_state), metrics
+
+        key, k_p1, k_p2 = jax.random.split(key, 3)
+        (params, opt_state), metrics = jax.lax.scan(
+            phase1_epoch, (ts.params, ts.opt_state), jax.random.split(k_p1, cfg.num_epochs)
+        )
+
+        # -- phase 2: auxiliary epochs (ref :372-393)
+        def phase2_epoch(carry, k_epoch):
+            params, opt_state = carry
+            perm = jax.random.permutation(k_epoch, n_seqs).reshape(cfg.num_minibatches, mb_size)
+
+            def minibatch(carry, idx):
+                params, opt_state = carry
+                mb = jax.tree_util.tree_map(lambda x: x[idx], data)
+                (loss, aux_metrics), grads = jax.value_and_grad(
+                    self._aux_loss, has_aux=True
+                )(params, mb)
+                updates, opt_state = self.tx.update(grads, opt_state, params)
+                params = optax.apply_updates(params, updates)
+                return (params, opt_state), aux_metrics
+
+            (params, opt_state), aux_metrics = jax.lax.scan(
+                minibatch, (params, opt_state), perm
+            )
+            return (params, opt_state), aux_metrics
+
+        (params, opt_state), aux_metrics = jax.lax.scan(
+            phase2_epoch, (params, opt_state), jax.random.split(k_p2, cfg.aux_epochs)
+        )
+
+        new_ts = RNNTrainState(
+            params=params, opt_state=opt_state, vec_state=vec_state, hidden=hidden,
+            obs_rms=obs_rms, reward_scaler=scaler, key=key,
+            env_steps=ts.env_steps + cfg.num_envs * cfg.rollout_steps,
+        )
+        out = IterOut(
+            ep_return=ep_ret, ep_length=ep_len, ep_done=ep_done,
+            metrics=jax.tree_util.tree_map(jnp.mean, metrics)
+            | jax.tree_util.tree_map(jnp.mean, aux_metrics),
+        )
+        return new_ts, out

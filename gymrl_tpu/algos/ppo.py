@@ -1,0 +1,338 @@
+"""PPO on vectorized envs — the flagship trainer (north-star workload).
+
+Algorithm parity with reference algorithms/ppo_lunarlander.py:
+  * shared 2x256 tanh trunk, tanh actor/critic heads, orthogonal init
+    gain √2 (policy head 0.01, value head 1.0) (:63-118)
+  * rollout horizon 2048 transitions, 10 epochs, shuffled minibatches of
+    64, Adam(3e-4, eps=1e-5), linear lr anneal with env steps (:29-56,337-341)
+  * GAE(γ=0.99, λ=0.95) with rollout-wide advantage standardization (:179-196,236)
+  * clipped surrogate + dual-clip 3.0:
+    adv<0 ? max(min(surr1,surr2), 3·adv) : min(surr1,surr2) (:278-292)
+  * value MSE ·0.5, entropy bonus 0.01, grad-norm clip 0.5 (:294-307)
+  * metrics: policy/value loss, entropy, clip_frac, approx_kl (:313-321)
+
+TPU-native re-design (SURVEY.md §3.2): rollout collection, bootstrap value,
+GAE, and the full epoch×minibatch SGD sweep are ONE jitted program:
+  * rollout = `lax.scan` of (forward → sample → vmapped env step) over T
+    steps of B lockstep envs; next-state values for GAE come from one
+    batched [T·B] forward afterwards (an MXU-friendly matmul) instead of a
+    second per-step forward, and truncated episodes therefore bootstrap
+    correctly (terminated ones are cut by the dw mask).
+  * epochs/minibatches = nested `lax.scan`s over a fresh permutation per
+    epoch; minibatch size is preserved in *samples* so the update count
+    per rollout matches the reference (T·B/64 minibatches × 10 epochs).
+  * With a mesh, the env-batch axis is sharded on 'data': XLA partitions
+    the rollout and inserts gradient psums automatically (minibatch
+    shuffling is global — resharding rides ICI).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Any, NamedTuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+import optax
+import flax.linen as nn
+
+from gymrl_tpu.algos.base import IterOut, Trainer
+from gymrl_tpu.core.gae import compute_gae, standardize
+from gymrl_tpu.core.normalization import (
+    RunningMeanStd,
+    normalize_obs,
+    rms_init,
+    rms_update_batch,
+)
+from gymrl_tpu.distributed.mesh import batch_sharding, replicated, shard_pytree_batch
+from gymrl_tpu.envs.registry import make_vec
+from gymrl_tpu.nn import initializers as gl_init
+from gymrl_tpu.nn.layers import Dense
+
+
+@dataclass(frozen=True)
+class PPOConfig:
+    env_name: str = "LunarLander-v3"
+    num_envs: int = 32
+    rollout_steps: int = 64  # T; total horizon = T·num_envs (ref: 2048 total)
+    num_epochs: int = 10
+    minibatch_size: int = 64  # in samples (ref batch_size)
+    gamma: float = 0.99
+    gae_lambda: float = 0.95
+    clip_eps: float = 0.2
+    dual_clip: float = 3.0
+    entropy_coef: float = 0.01
+    value_coef: float = 0.5
+    max_grad_norm: float = 0.5
+    lr: float = 3e-4
+    adam_eps: float = 1e-5
+    anneal_lr: bool = True
+    hidden_dim: int = 256
+    normalize_obs: bool = False  # plain PPO matches ref (no state_norm)
+    max_train_steps: int = 1_000_000
+    solve_threshold: float = 200.0
+
+    @property
+    def batch_total(self) -> int:
+        return self.num_envs * self.rollout_steps
+
+    @property
+    def num_minibatches(self) -> int:
+        assert self.batch_total % self.minibatch_size == 0, (
+            f"T·B={self.batch_total} must divide by minibatch {self.minibatch_size}"
+        )
+        return self.batch_total // self.minibatch_size
+
+
+class ActorCritic(nn.Module):
+    """Shared tanh trunk + tanh actor/critic heads (ref ppo_lunarlander.py:63-118)."""
+
+    n_actions: int
+    hidden_dim: int = 256
+
+    @nn.compact
+    def __call__(self, x):
+        trunk = x
+        for i in range(2):
+            trunk = Dense(self.hidden_dim, kernel_init=gl_init.orthogonal(), name=f"shared_{i}")(trunk)
+            trunk = jnp.tanh(trunk)
+        a = Dense(self.hidden_dim, kernel_init=gl_init.orthogonal(), name="actor_0")(trunk)
+        a = jnp.tanh(a)
+        logits = Dense(self.n_actions, kernel_init=gl_init.orthogonal(0.01), name="actor_head")(a)
+        c = Dense(self.hidden_dim, kernel_init=gl_init.orthogonal(), name="critic_0")(trunk)
+        c = jnp.tanh(c)
+        value = Dense(1, kernel_init=gl_init.orthogonal(1.0), name="critic_head")(c)
+        return logits, value.squeeze(-1)
+
+
+class PPOTrainState(NamedTuple):
+    params: Any
+    opt_state: Any
+    vec_state: Any
+    obs_rms: RunningMeanStd
+    key: jax.Array
+    env_steps: jax.Array
+
+
+class Rollout(NamedTuple):
+    obs: jax.Array  # f32[T, B, obs] — normalized if cfg.normalize_obs
+    action: jax.Array  # i32[T, B]
+    logp: jax.Array  # f32[T, B]
+    value: jax.Array  # f32[T, B]
+    reward: jax.Array  # f32[T, B]
+    next_obs: jax.Array  # f32[T, B, obs] — true successor (terminal at done)
+    terminated: jax.Array  # f32[T, B]
+    done: jax.Array  # f32[T, B]
+
+
+def categorical_logp_entropy(logits, action):
+    logp_all = jax.nn.log_softmax(logits)
+    logp = jnp.take_along_axis(logp_all, action[..., None], axis=-1).squeeze(-1)
+    entropy = -jnp.sum(jnp.exp(logp_all) * logp_all, axis=-1)
+    return logp, entropy
+
+
+class PPOTrainer(Trainer):
+    def __init__(self, cfg: PPOConfig, mesh=None):
+        super().__init__(cfg)
+        self.mesh = mesh
+        self.venv = make_vec(cfg.env_name, cfg.num_envs)
+        self.net = ActorCritic(self.venv.env.n_actions, cfg.hidden_dim)
+        # inject_hyperparams exposes lr for in-jit annealing (ref :337-341)
+        self.tx = optax.chain(
+            optax.clip_by_global_norm(cfg.max_grad_norm),
+            optax.inject_hyperparams(optax.adam)(
+                learning_rate=cfg.lr, eps=cfg.adam_eps
+            ),
+        )
+        if mesh is not None:
+            self._jit_train_iter = jax.jit(
+                self._train_iter, in_shardings=(self._state_shardings(),)
+            )
+        else:
+            self._jit_train_iter = jax.jit(self._train_iter)
+
+    # -- sharding layout ------------------------------------------------------
+    def _state_shardings(self):
+        """params/opt replicated; env batch axis sharded on 'data'."""
+        rep = replicated(self.mesh)
+        bsh = batch_sharding(self.mesh, 0)
+        example = self.init(jax.random.PRNGKey(0), _place=False)
+        def spec(path_leaf):
+            return path_leaf
+        return PPOTrainState(
+            params=jax.tree_util.tree_map(lambda _: rep, example.params),
+            opt_state=jax.tree_util.tree_map(lambda _: rep, example.opt_state),
+            vec_state=jax.tree_util.tree_map(
+                lambda x: bsh if jnp.ndim(x) >= 1 else rep, example.vec_state
+            ),
+            obs_rms=jax.tree_util.tree_map(lambda _: rep, example.obs_rms),
+            key=rep,
+            env_steps=rep,
+        )
+
+    # -- API ------------------------------------------------------------------
+    def init(self, key, _place: bool = True) -> PPOTrainState:
+        k_params, k_env, k_iter = jax.random.split(key, 3)
+        obs_dim = self.venv.env.obs_dim
+        params = self.net.init(k_params, jnp.zeros((1, obs_dim)))
+        ts = PPOTrainState(
+            params=params,
+            opt_state=self.tx.init(params),
+            vec_state=self.venv.reset(k_env),
+            obs_rms=rms_init((obs_dim,)),
+            key=k_iter,
+            env_steps=jnp.zeros((), jnp.int32),
+        )
+        if self.mesh is not None and _place:
+            ts = ts._replace(
+                vec_state=shard_pytree_batch(ts.vec_state, self.mesh),
+                params=jax.device_put(ts.params, replicated(self.mesh)),
+                opt_state=jax.device_put(ts.opt_state, replicated(self.mesh)),
+            )
+        return ts
+
+    def policy(self, ts: PPOTrainState, obs, key, deterministic: bool = True):
+        obs = self._norm(ts.obs_rms, obs)
+        logits, _ = self.net.apply(ts.params, obs)
+        if deterministic:
+            return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        return jax.random.categorical(key, logits).astype(jnp.int32)
+
+    def train_iter(self, ts: PPOTrainState) -> tuple[PPOTrainState, IterOut]:
+        return self._jit_train_iter(ts)
+
+    # -- internals ------------------------------------------------------------
+    def _norm(self, rms, obs):
+        return normalize_obs(rms, obs) if self.cfg.normalize_obs else obs
+
+    def _collect(self, ts: PPOTrainState):
+        cfg = self.cfg
+
+        def env_step(carry, _):
+            vec_state, obs_rms, key = carry
+            key, k_act, k_step = jax.random.split(key, 3)
+            nobs = self._norm(obs_rms, vec_state.obs)
+            logits, value = self.net.apply(ts.params, nobs)
+            action = jax.random.categorical(k_act, logits).astype(jnp.int32)
+            logp, _ = categorical_logp_entropy(logits, action)
+            vec_state, tr = self.venv.step(vec_state, action, k_step)
+            if cfg.normalize_obs:
+                obs_rms = rms_update_batch(obs_rms, tr.next_obs)
+            roll = Rollout(
+                obs=nobs,
+                action=action,
+                logp=logp,
+                value=value,
+                reward=tr.reward,
+                next_obs=tr.next_obs,
+                terminated=tr.terminated.astype(jnp.float32),
+                done=tr.done.astype(jnp.float32),
+            )
+            stats = (tr.final_return, tr.final_length, tr.done)
+            return (vec_state, obs_rms, key), (roll, stats)
+
+        (vec_state, obs_rms, key), (roll, stats) = jax.lax.scan(
+            env_step, (ts.vec_state, ts.obs_rms, ts.key), None, length=cfg.rollout_steps
+        )
+        return vec_state, obs_rms, key, roll, stats
+
+    def _loss(self, params, batch, adv, returns):
+        cfg = self.cfg
+        logits, values = self.net.apply(params, batch.obs)
+        logp, entropy = categorical_logp_entropy(logits, batch.action)
+        ratio = jnp.exp(logp - batch.logp)
+        surr1 = ratio * adv
+        surr2 = jnp.clip(ratio, 1.0 - cfg.clip_eps, 1.0 + cfg.clip_eps) * adv
+        min_surr = jnp.minimum(surr1, surr2)
+        # dual-clip (ref :285-292)
+        policy_obj = jnp.where(
+            adv < 0.0, jnp.maximum(min_surr, cfg.dual_clip * adv), min_surr
+        )
+        policy_loss = -jnp.mean(policy_obj)
+        value_loss = cfg.value_coef * jnp.mean(jnp.square(values - returns))
+        entropy_mean = jnp.mean(entropy)
+        loss = policy_loss + value_loss - cfg.entropy_coef * entropy_mean
+        clip_frac = jnp.mean(
+            ((ratio < 1.0 - cfg.clip_eps) | (ratio > 1.0 + cfg.clip_eps)).astype(jnp.float32)
+        )
+        approx_kl = jnp.mean(batch.logp - logp)
+        return loss, {
+            "policy_loss": policy_loss,
+            "value_loss": value_loss,
+            "entropy": entropy_mean,
+            "clip_frac": clip_frac,
+            "approx_kl": approx_kl,
+        }
+
+    def _train_iter(self, ts: PPOTrainState) -> tuple[PPOTrainState, IterOut]:
+        cfg = self.cfg
+        vec_state, obs_rms, key, roll, (ep_ret, ep_len, ep_done) = self._collect(ts)
+
+        # Values of true successors in ONE batched forward (bootstrap for
+        # truncation; terminated steps are masked by (1-dw) inside GAE).
+        next_nobs = self._norm(obs_rms, roll.next_obs)
+        _, next_values = self.net.apply(ts.params, next_nobs.reshape(-1, next_nobs.shape[-1]))
+        next_values = next_values.reshape(roll.value.shape)
+
+        adv, v_target = compute_gae(
+            roll.reward, roll.value, next_values, roll.terminated, roll.done,
+            cfg.gamma, cfg.gae_lambda,
+        )
+        adv = standardize(adv)  # rollout-wide (ref :236)
+
+        # Flatten [T, B] → [N] and run epochs of shuffled minibatches.
+        flat = jax.tree_util.tree_map(
+            lambda x: x.reshape((cfg.batch_total,) + x.shape[2:]), roll
+        )
+        adv_flat = adv.reshape(-1)
+        ret_flat = v_target.reshape(-1)
+
+        # lr anneal (ref :337-341): set the injected hyperparam for this iter.
+        frac = 1.0 - ts.env_steps.astype(jnp.float32) / cfg.max_train_steps
+        lr = jnp.where(cfg.anneal_lr, cfg.lr * jnp.maximum(frac, 0.0), cfg.lr)
+        opt_state = ts.opt_state
+        opt_state[1].hyperparams["learning_rate"] = lr  # inject_hyperparams slot
+
+        def epoch(carry, k_epoch):
+            params, opt_state = carry
+            perm = jax.random.permutation(k_epoch, cfg.batch_total)
+            perm = perm.reshape(cfg.num_minibatches, cfg.minibatch_size)
+
+            def minibatch(carry, idx):
+                params, opt_state = carry
+                mb = jax.tree_util.tree_map(lambda x: x[idx], flat)
+                (loss, metrics), grads = jax.value_and_grad(self._loss, has_aux=True)(
+                    params, mb, adv_flat[idx], ret_flat[idx]
+                )
+                updates, opt_state = self.tx.update(grads, opt_state, params)
+                params = optax.apply_updates(params, updates)
+                return (params, opt_state), metrics
+
+            (params, opt_state), metrics = jax.lax.scan(minibatch, (params, opt_state), perm)
+            return (params, opt_state), metrics
+
+        key, k_epochs = jax.random.split(key)
+        epoch_keys = jax.random.split(k_epochs, cfg.num_epochs)
+        (params, opt_state), metrics = jax.lax.scan(
+            epoch, (ts.params, opt_state), epoch_keys
+        )
+
+        new_ts = PPOTrainState(
+            params=params,
+            opt_state=opt_state,
+            vec_state=vec_state,
+            obs_rms=obs_rms,
+            key=key,
+            env_steps=ts.env_steps + cfg.batch_total,
+        )
+        out = IterOut(
+            ep_return=ep_ret,
+            ep_length=ep_len,
+            ep_done=ep_done,
+            metrics={k: jnp.mean(v) for k, v in metrics.items()} | {"lr": lr},
+        )
+        return new_ts, out

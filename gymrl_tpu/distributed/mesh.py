@@ -1,0 +1,66 @@
+"""Device mesh + sharding helpers — the framework's distributed backend.
+
+The reference has NO distributed code (SURVEY.md §2.4); these are the new
+first-class subsystems. Design per the scaling-book recipe: build a Mesh,
+annotate shardings on the env-batch ("data") axis, let XLA insert the
+collectives (gradient reductions ride ICI as psum; no NCCL/MPI analogue
+is needed — XLA collectives ARE the comms backend, SURVEY.md §5.8).
+
+Axes:
+  * ``data``  — environment-batch / gradient data parallelism. The env
+    batch axis of every rollout pytree is sharded here; parameter
+    gradients reduce over it automatically when jit sees sharded batch +
+    replicated params.
+  * ``model`` — reserved tensor-parallel axis (size 1 by default). The
+    reference's widest net is ~512 units so TP is never profitable, but
+    the mesh carries the axis so TP becomes a config change, not a
+    rewrite (SURVEY.md §2.4 table).
+
+Multi-host: call ``jax.distributed.initialize()`` before ``make_mesh``;
+``jax.devices()`` then spans hosts and the same code scales out (DCN
+between slices, ICI within).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(n_data: int | None = None, n_model: int = 1, devices=None) -> Mesh:
+    """Build a ('data', 'model') mesh over the available devices."""
+    devices = devices if devices is not None else jax.devices()
+    if n_data is None:
+        n_data = len(devices) // n_model
+    assert n_data * n_model <= len(devices), (
+        f"need {n_data}x{n_model} devices, have {len(devices)}"
+    )
+    grid = np.asarray(devices[: n_data * n_model]).reshape(n_data, n_model)
+    return Mesh(grid, ("data", "model"))
+
+
+def batch_sharding(mesh: Mesh, batch_axis: int = 0) -> NamedSharding:
+    """Sharding for arrays whose ``batch_axis`` is the env-batch dimension."""
+    spec = [None] * (batch_axis + 1)
+    spec[batch_axis] = "data"
+    return NamedSharding(mesh, P(*spec))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_pytree_batch(tree, mesh: Mesh, batch_ndim_from: int = 0):
+    """Place every leaf with its ``batch_ndim_from``-th axis sharded on 'data'.
+
+    Leaves whose rank is too small (scalars like step counters) replicate.
+    """
+
+    def place(x):
+        if x.ndim > batch_ndim_from:
+            return jax.device_put(x, batch_sharding(mesh, batch_ndim_from))
+        return jax.device_put(x, replicated(mesh))
+
+    return jax.tree_util.tree_map(place, tree)

@@ -1,0 +1,164 @@
+"""Generic host-side training loop — the framework's `BenchMark`/runner.
+
+Replicates the reference UX (SURVEY.md §3.4-3.5, §2.2 scaffolding):
+  * per-iteration console lines ``Episode | Reward | Avg(100) | Steps``
+    (reference algorithms/dqn_cartpole.py:199-205),
+  * avg-100-episode solve-threshold early stop (dqn_cartpole.py:207),
+  * periodic deterministic evaluation with frozen normalization
+    (utils/runner.py:156-158, 169-184),
+  * periodic Orbax checkpoints (utils/runner.py:160-161),
+  * TensorBoard metrics with NaN skipping (utils/runner.py:46-49),
+  * SIGINT → graceful final evaluation (dqn_cartpole.py:256-272) — the
+    loop catches KeyboardInterrupt and runs `test()`.
+
+TPU shape: the device does `steps_per_iter` fused env+update steps per
+`train_iter` call; the host only folds the (small) episode-stat arrays into
+the rolling window between calls, so the device never waits on python
+bookkeeping at step granularity.
+"""
+
+from __future__ import annotations
+
+import time
+from collections import deque
+
+import jax
+import numpy as np
+
+from gymrl_tpu.utils.checkpoint import checkpoint_path, restore_checkpoint, save_checkpoint
+from gymrl_tpu.utils.logging import MetricsWriter, get_logger
+
+logger = get_logger()
+
+
+class TrainLoop:
+    def __init__(
+        self,
+        trainer,
+        algo_name: str,
+        *,
+        log_metrics: bool = True,
+        log_every: int = 20,  # train_iter calls between console lines
+        eval_every: int = 0,  # env steps between evals; 0 = off
+        save_every: int = 0,  # env steps between checkpoint saves; 0 = off
+        eval_episodes: int = 5,
+    ):
+        self.trainer = trainer
+        self.algo_name = algo_name
+        self.env_name = trainer.venv.env.name
+        self.writer = MetricsWriter(algo_name, self.env_name, enabled=log_metrics)
+        self.log_every = log_every
+        self.eval_every = eval_every
+        self.save_every = save_every
+        self.eval_episodes = eval_episodes
+        self.ckpt_path = checkpoint_path(algo_name, self.env_name)
+
+    # -- training -------------------------------------------------------------
+    def train(
+        self,
+        total_env_steps: int,
+        *,
+        solve_threshold: float | None = None,
+        seed: int = 0,
+        load_model: bool = False,
+        ts=None,
+    ):
+        trainer = self.trainer
+        if ts is None:
+            ts = trainer.init(jax.random.PRNGKey(seed))
+            if load_model:
+                try:
+                    ts = restore_checkpoint(self.ckpt_path, ts)
+                    logger.info(f"restored checkpoint from {self.ckpt_path}")
+                except Exception as e:  # non-fatal, like the reference's logger.catch
+                    logger.warning(f"checkpoint restore failed ({e}); training from scratch")
+
+        window: deque = deque(maxlen=100)
+        episodes = 0
+        iters = 0
+        next_eval = self.eval_every or float("inf")
+        next_save = self.save_every or float("inf")
+        t0 = time.time()
+        steps0 = int(ts.env_steps)
+        solved = False
+
+        try:
+            while int(ts.env_steps) < total_env_steps and not solved:
+                ts, out = trainer.train_iter(ts)
+                iters += 1
+
+                done = np.asarray(out.ep_done)
+                if done.any():
+                    finals = np.asarray(out.ep_return)[done]
+                    episodes += int(done.sum())
+                    window.extend(finals.tolist())
+
+                env_steps = int(ts.env_steps)
+                if iters % self.log_every == 0:
+                    avg = float(np.mean(window)) if window else float("nan")
+                    last = window[-1] if window else float("nan")
+                    sps = (env_steps - steps0) / max(time.time() - t0, 1e-9)
+                    metrics = {k: float(v) for k, v in out.metrics.items()}
+                    self.writer.log(
+                        {"reward/avg100": avg, "steps_per_s": sps, **metrics}, env_steps
+                    )
+                    logger.info(
+                        f"Episode: {episodes} | Reward: {last:.1f} | "
+                        f"Avg(100): {avg:.1f} | Steps: {env_steps} | {sps:,.0f} steps/s"
+                    )
+
+                if env_steps >= next_eval:
+                    next_eval += self.eval_every
+                    mean_r, _ = self.evaluate(ts, episodes=self.eval_episodes)
+                    self.writer.log({"reward/eval": mean_r}, env_steps)
+                    logger.info(f"eval: {mean_r:.1f} over {self.eval_episodes} episodes")
+                if env_steps >= next_save:
+                    next_save += self.save_every
+                    save_checkpoint(self.ckpt_path, ts)
+
+                if (
+                    solve_threshold is not None
+                    and len(window) == window.maxlen
+                    and float(np.mean(window)) >= solve_threshold
+                ):
+                    logger.info(
+                        f"solved: avg100 {float(np.mean(window)):.1f} ≥ {solve_threshold} "
+                        f"after {episodes} episodes / {env_steps} steps"
+                    )
+                    solved = True
+        except KeyboardInterrupt:
+            logger.info("interrupted — running final evaluation")
+
+        if self.save_every:
+            save_checkpoint(self.ckpt_path, ts)
+        return ts, {
+            "episodes": episodes,
+            "env_steps": int(ts.env_steps),
+            "avg100": float(np.mean(window)) if window else float("nan"),
+            "solved": solved,
+            "wall_s": time.time() - t0,
+        }
+
+    # -- evaluation -----------------------------------------------------------
+    def evaluate(self, ts, episodes: int = 5, seed: int = 1234):
+        """Deterministic policy, frozen normalization (ref utils/runner.py:169-184)."""
+        returns, lengths = self.trainer.eval_episodes(ts, jax.random.PRNGKey(seed), episodes)
+        return float(np.mean(returns)), float(np.mean(lengths))
+
+    def test(self, ts, episodes: int = 5):
+        """Reference `test()` = eval + render episode; headless here ⇒ eval only."""
+        mean_r, mean_len = self.evaluate(ts, episodes)
+        logger.info(f"test: mean reward {mean_r:.1f}, mean length {mean_len:.0f}")
+        return mean_r
+
+
+def run_benchmark(trainer_cls, cfg, algo_name: str, *, seed: int = 0, **loop_kwargs):
+    """`BenchMark.train` equivalent (reference utils/runner.py:209-226)."""
+    trainer = trainer_cls(cfg)
+    loop = TrainLoop(trainer, algo_name, **loop_kwargs)
+    ts, stats = loop.train(
+        cfg.max_train_steps,
+        solve_threshold=getattr(cfg, "solve_threshold", None),
+        seed=seed,
+    )
+    return loop, ts, stats

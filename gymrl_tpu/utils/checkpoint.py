@@ -1,0 +1,57 @@
+"""Checkpoint / resume via Orbax.
+
+Parity with the reference's two mechanisms (SURVEY.md §5.4): the
+``ModelLoader`` reflection mixin saving every state_dict-bearing attribute
+(utils/model.py:330-366, path ./checkpoints/{algo}_{env}.pth) and the
+per-script dicts that also pickle normalization stats. Here the entire
+``TrainState`` pytree (params, target params, optimizer state, running
+normalization stats, RNG key, step counters) is one Orbax checkpoint, so
+restore puts training AND eval-time normalization back exactly. Replay
+buffer contents are intentionally excluded, matching the reference (buffers
+are never checkpointed) — `save_checkpoint` prunes any leaf under a field
+named ``replay``.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+
+def checkpoint_path(algo: str, env_name: str, root: str = "./checkpoints") -> str:
+    """./checkpoints/{algo}_{env} — reference utils/model.py:332 layout."""
+    return os.path.abspath(os.path.join(root, f"{algo}_{env_name}"))
+
+
+def _strip_replay(ts: Any) -> Any:
+    """Replace replay-buffer storage with None (never checkpointed)."""
+    if hasattr(ts, "_replace") and hasattr(ts, "replay"):
+        return ts._replace(replay=None)
+    return ts
+
+
+def save_checkpoint(path: str, ts: Any, step: int | None = None) -> str:
+    ts = _strip_replay(ts)
+    path = os.path.abspath(path)
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with ocp.PyTreeCheckpointer() as ckptr:
+        ckptr.save(path, jax.device_get(ts), force=True)
+    return path
+
+
+def restore_checkpoint(path: str, example_ts: Any) -> Any:
+    """Restore into the structure of ``example_ts`` (fresh-init TrainState).
+
+    Fields pruned at save time (replay) keep their fresh-init value, mirroring
+    the reference's behavior of resuming with an empty buffer.
+    """
+    stripped = _strip_replay(example_ts)
+    with ocp.PyTreeCheckpointer() as ckptr:
+        restored = ckptr.restore(os.path.abspath(path), item=jax.device_get(stripped))
+    if hasattr(example_ts, "_replace") and hasattr(example_ts, "replay"):
+        restored = restored._replace(replay=example_ts.replay)
+    return jax.tree_util.tree_map(jax.numpy.asarray, restored)

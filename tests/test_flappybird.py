@@ -1,0 +1,113 @@
+"""FlappyBird engine semantics (re-creation; no installable oracle)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from gymrl_tpu.envs import registry
+from gymrl_tpu.envs.flappybird import (
+    FLAP_VEL,
+    GRAVITY,
+    GROUND_Y,
+    MAX_VEL_Y,
+    PLAYER_X,
+    PIPE_W,
+)
+
+
+def test_reset_obs():
+    env = registry.make("FlappyBird-v0")
+    params = env.default_params()
+    state, obs = env.reset(params, jax.random.PRNGKey(0))
+    assert obs.shape == (12,)
+    assert np.all(np.isfinite(np.asarray(obs)))
+    assert float(state.player_vel) == 0.0
+
+
+def test_gravity_and_flap():
+    env = registry.make("FlappyBird-v0")
+    params = env.default_params()
+    state, _ = env.reset(params, jax.random.PRNGKey(0))
+    # idle: velocity increases by gravity each frame
+    sr = env.step(params, state, jnp.asarray(0), jax.random.PRNGKey(1))
+    assert float(sr.state.player_vel) == GRAVITY
+    sr2 = env.step(params, sr.state, jnp.asarray(0), jax.random.PRNGKey(2))
+    assert float(sr2.state.player_vel) == 2 * GRAVITY
+    # flap: velocity snaps to the flap impulse
+    sr3 = env.step(params, sr2.state, jnp.asarray(1), jax.random.PRNGKey(3))
+    assert float(sr3.state.player_vel) == FLAP_VEL
+
+
+def test_terminal_velocity_clamped():
+    env = registry.make("FlappyBird-v0")
+    params = env.default_params()
+    state, _ = env.reset(params, jax.random.PRNGKey(0))
+    for i in range(30):
+        sr = env.step(params, state, jnp.asarray(0), jax.random.PRNGKey(i))
+        state = sr.state
+        if bool(sr.terminated):
+            break
+        assert float(state.player_vel) <= MAX_VEL_Y
+
+
+def test_falling_hits_ground_with_minus_one():
+    env = registry.make("FlappyBird-v0")
+    params = env.default_params()
+    state, _ = env.reset(params, jax.random.PRNGKey(0))
+    reward = 0.0
+    for i in range(100):
+        sr = env.step(params, state, jnp.asarray(0), jax.random.PRNGKey(i))
+        state = sr.state
+        if bool(sr.terminated):
+            reward = float(sr.reward)
+            break
+    else:
+        raise AssertionError("idle bird never hit the ground")
+    assert reward < 0  # death penalty dominates the 0.1 alive bonus
+    assert float(state.player_y) + 24.0 >= GROUND_Y
+
+
+def test_alive_reward_and_pipe_scoring():
+    env = registry.make("FlappyBird-v0")
+    params = env.default_params()
+    state, _ = env.reset(params, jax.random.PRNGKey(0))
+    sr = env.step(params, state, jnp.asarray(1), jax.random.PRNGKey(1))
+    np.testing.assert_allclose(float(sr.reward), 0.1, atol=1e-6)  # alive bonus
+    # Teleport a pipe just ahead of the scoring boundary: +1.0 on pass
+    state = sr.state._replace(
+        pipe_x=sr.state.pipe_x.at[0].set(PLAYER_X - PIPE_W + 2.0),
+        gap_y=sr.state.gap_y.at[0].set(float(sr.state.player_y)),
+    )
+    sr2 = env.step(params, state, jnp.asarray(1), jax.random.PRNGKey(2))
+    np.testing.assert_allclose(float(sr2.reward), 1.1, atol=1e-6)
+    assert int(sr2.state.score) == int(state.score) + 1
+
+
+def test_pipe_collision_kills():
+    env = registry.make("FlappyBird-v0")
+    params = env.default_params()
+    state, _ = env.reset(params, jax.random.PRNGKey(0))
+    # park a pipe pair overlapping the player with the gap far away
+    state = state._replace(
+        pipe_x=state.pipe_x.at[0].set(PLAYER_X),
+        gap_y=state.gap_y.at[0].set(float(state.player_y) + 200.0),
+    )
+    sr = env.step(params, state, jnp.asarray(0), jax.random.PRNGKey(1))
+    assert bool(sr.terminated)
+
+
+def test_vectorized_rollout():
+    venv = registry.make_vec("FlappyBird-v0", 16)
+    vstate = venv.reset(jax.random.PRNGKey(0))
+
+    @jax.jit
+    def roll(vstate, key):
+        def body(vs, k):
+            a = jax.random.bernoulli(k, 0.1, (16,)).astype(jnp.int32)
+            return venv.step(vs, a, k)
+
+        return jax.lax.scan(body, vstate, jax.random.split(key, 200))
+
+    vstate, trs = roll(vstate, jax.random.PRNGKey(1))
+    assert np.asarray(trs.done).any()  # random play dies within 200 frames
+    assert np.all(np.isfinite(np.asarray(trs.obs)))

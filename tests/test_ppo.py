@@ -1,0 +1,90 @@
+"""PPO trainer tests: fused train_iter correctness, learning, sharding."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from gymrl_tpu.algos.ppo import PPOConfig, PPOTrainer
+from gymrl_tpu.distributed.mesh import make_mesh
+
+
+def small_cfg(**kw):
+    base = dict(
+        env_name="CartPole-v1", num_envs=8, rollout_steps=32, minibatch_size=64,
+        num_epochs=4, solve_threshold=495.0,
+    )
+    base.update(kw)
+    return PPOConfig(**base)
+
+
+def test_train_iter_shapes_and_metrics():
+    trainer = PPOTrainer(small_cfg())
+    ts = trainer.init(jax.random.PRNGKey(0))
+    ts, out = trainer.train_iter(ts)
+    assert int(ts.env_steps) == 8 * 32
+    for k in ["policy_loss", "value_loss", "entropy", "clip_frac", "approx_kl", "lr"]:
+        assert np.isfinite(float(out.metrics[k])), k
+    # entropy of a near-uniform 2-action policy starts near ln 2
+    assert 0.5 < float(out.metrics["entropy"]) <= 0.70
+
+
+def test_lr_anneal_progresses():
+    trainer = PPOTrainer(small_cfg(max_train_steps=2048))
+    ts = trainer.init(jax.random.PRNGKey(0))
+    _, out1 = trainer.train_iter(ts)
+    ts2, _ = trainer.train_iter(ts)
+    _, out3 = trainer.train_iter(ts2)
+    assert float(out3.metrics["lr"]) < float(out1.metrics["lr"])
+
+
+def test_update_count_matches_reference_cadence():
+    """T·B/minibatch × epochs gradient steps per iteration (ref: 2048/64×10)."""
+    cfg = small_cfg()
+    trainer = PPOTrainer(cfg)
+    ts = trainer.init(jax.random.PRNGKey(0))
+    _, out = trainer.train_iter(ts)
+    # metrics come back [num_epochs, num_minibatches]-averaged; check config math
+    assert cfg.num_minibatches == (8 * 32) // 64 == 4
+
+
+def test_ppo_learns_cartpole():
+    cfg = small_cfg(num_envs=16, rollout_steps=64, num_epochs=4, minibatch_size=256,
+                    max_train_steps=300_000)
+    trainer = PPOTrainer(cfg)
+    ts = trainer.init(jax.random.PRNGKey(1))
+    for _ in range(30):  # ~30k env steps
+        ts, out = trainer.train_iter(ts)
+    returns, _ = trainer.eval_episodes(ts, jax.random.PRNGKey(3), 8)
+    mean_r = float(np.mean(np.asarray(returns)))
+    assert mean_r > 150.0, f"PPO failed to learn: eval return {mean_r}"
+
+
+def test_ppo_sharded_mesh_runs():
+    """Full train step jitted over an 8-device mesh executes and stays sharded."""
+    mesh = make_mesh()  # 8 virtual CPU devices from conftest flags
+    assert mesh.shape["data"] == 8
+    cfg = small_cfg(num_envs=16, rollout_steps=16, minibatch_size=32, num_epochs=2)
+    trainer = PPOTrainer(cfg, mesh=mesh)
+    ts = trainer.init(jax.random.PRNGKey(0))
+    ts, out = trainer.train_iter(ts)
+    assert np.isfinite(float(out.metrics["policy_loss"]))
+    assert int(ts.env_steps) == 16 * 16
+    # env batch stays sharded over 'data'
+    sh = ts.vec_state.obs.sharding
+    assert "data" in str(sh.spec) or not sh.is_fully_replicated is False
+    # a second iter reuses the compiled program
+    ts, _ = trainer.train_iter(ts)
+    assert int(ts.env_steps) == 2 * 16 * 16
+
+
+def test_obs_normalization_freeze_in_eval():
+    cfg = small_cfg(normalize_obs=True)
+    trainer = PPOTrainer(cfg)
+    ts = trainer.init(jax.random.PRNGKey(0))
+    ts, _ = trainer.train_iter(ts)
+    assert float(ts.obs_rms.count) == cfg.batch_total
+    # eval must not advance normalization stats
+    before = float(ts.obs_rms.count)
+    trainer.eval_episodes(ts, jax.random.PRNGKey(1), 2)
+    assert float(ts.obs_rms.count) == before

@@ -1,0 +1,94 @@
+"""Recurrent PPO: cell semantics, chunking, hidden handling, learning."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from gymrl_tpu.algos.ppo_rnn import PPORNNConfig, PPORNNTrainer
+from gymrl_tpu.nn.recurrent import MLPRNNCell, URNNCell
+
+
+def small_cfg(**kw):
+    base = dict(
+        env_name="CartPole-v1", num_envs=8, rollout_steps=32, seq_len=8,
+        seq_minibatch=16, num_epochs=2, normalize_obs=True, scale_rewards=True,
+    )
+    base.update(kw)
+    return PPORNNConfig(**base)
+
+
+def test_mlprnn_cell_split():
+    """3/4 linear + 1/4 GRU concat (utils/model.py:290-302)."""
+    cell = MLPRNNCell(output_dim=64)
+    h = cell.initial_state(2)
+    assert h.shape == (2, 16)
+    params = cell.init(jax.random.PRNGKey(0), h, jnp.zeros((2, 10)))
+    h1, out = cell.apply(params, h, jnp.ones((2, 10)))
+    assert out.shape == (2, 64)
+    assert h1.shape == (2, 16)
+    # the GRU quarter of the output IS the new hidden state
+    np.testing.assert_array_equal(np.asarray(out[:, 48:]), np.asarray(h1))
+
+
+def test_urnn_packing():
+    for cell_type, chunks in [("gru", 1), ("lstm", 2)]:
+        cell = URNNCell(hidden_size=32, cell_type=cell_type)
+        h = cell.initial_state(3)
+        assert h.shape == (3, 32 * chunks)
+        params = cell.init(jax.random.PRNGKey(0), h, jnp.zeros((3, 8)))
+        h1, out = cell.apply(params, h, jnp.ones((3, 8)))
+        assert h1.shape == (3, 32 * chunks)
+        assert out.shape == (3, 32)
+
+
+def test_train_iter_runs_and_counts():
+    trainer = PPORNNTrainer(small_cfg())
+    ts = trainer.init(jax.random.PRNGKey(0))
+    ts, out = trainer.train_iter(ts)
+    assert int(ts.env_steps) == 8 * 32
+    for k in ["policy_loss", "value_loss", "entropy", "approx_kl"]:
+        assert np.isfinite(float(out.metrics[k])), k
+    # normalization statistics advanced by the rollout
+    assert float(ts.obs_rms.count) == 8 * 32
+
+
+def test_hidden_resets_at_done():
+    """After an iteration, live hiddens are nonzero; the scan zeroes at dones."""
+    trainer = PPORNNTrainer(small_cfg(rollout_steps=64))
+    ts = trainer.init(jax.random.PRNGKey(0))
+    ts, out = trainer.train_iter(ts)
+    assert np.asarray(out.ep_done).any()  # some CartPole episodes ended
+    # carried hidden is finite and not all-zero (most envs mid-episode)
+    h = np.asarray(ts.hidden)
+    assert np.isfinite(h).all()
+    assert np.abs(h).sum() > 0
+
+
+def test_sequence_chunking_shapes():
+    cfg = small_cfg(num_envs=4, rollout_steps=16, seq_len=4, seq_minibatch=8)
+    assert cfg.seqs_per_rollout == 16
+    assert cfg.num_minibatches == 2
+    trainer = PPORNNTrainer(cfg)
+    ts = trainer.init(jax.random.PRNGKey(0))
+    ts, out = trainer.train_iter(ts)
+    assert np.isfinite(float(out.metrics["policy_loss"]))
+
+
+def test_recurrent_eval_runs():
+    trainer = PPORNNTrainer(small_cfg())
+    ts = trainer.init(jax.random.PRNGKey(0))
+    returns, lengths = trainer.eval_episodes(ts, jax.random.PRNGKey(1), 4)
+    assert returns.shape == (4,)
+    assert np.all(np.asarray(returns) >= 1)
+
+
+def test_ppo_rnn_learns_cartpole():
+    cfg = small_cfg(num_envs=16, rollout_steps=64, seq_len=8, seq_minibatch=32,
+                    num_epochs=4)
+    trainer = PPORNNTrainer(cfg)
+    ts = trainer.init(jax.random.PRNGKey(1))
+    for _ in range(25):
+        ts, _ = trainer.train_iter(ts)
+    returns, _ = trainer.eval_episodes(ts, jax.random.PRNGKey(2), 6)
+    mean_r = float(np.mean(np.asarray(returns)))
+    assert mean_r > 100.0, f"recurrent PPO failed to learn: {mean_r}"
