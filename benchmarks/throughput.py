@@ -1,0 +1,91 @@
+"""Per-workload throughput sweep: env-steps/s for each trainer family.
+
+Usage: python benchmarks/throughput.py [workload ...]
+Prints one JSON line per workload. `bench.py` at the repo root remains the
+driver-facing single-line benchmark; this file is the broader matrix.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import jax
+
+
+def _bench_trainer(trainer, iters: int = 5):
+    ts = trainer.init(jax.random.PRNGKey(0))
+    ts, _ = trainer.train_iter(ts)  # compile + warmup
+    jax.block_until_ready(jax.tree_util.tree_leaves(ts)[0])
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        ts, _ = trainer.train_iter(ts)
+    jax.block_until_ready(jax.tree_util.tree_leaves(ts)[0])
+    dt = time.perf_counter() - t0
+    steps = iters * trainer.cfg.num_envs * getattr(
+        trainer.cfg, "rollout_steps", getattr(trainer.cfg, "steps_per_iter", 1)
+    )
+    return steps / dt
+
+
+def ppo_lunarlander():
+    from gymrl_tpu.algos.ppo import PPOConfig, PPOTrainer
+
+    return PPOTrainer(PPOConfig(env_name="LunarLander-v3", num_envs=2048,
+                                rollout_steps=64, minibatch_size=16384, num_epochs=4))
+
+
+def ppo_cartpole():
+    from gymrl_tpu.algos.ppo import PPOConfig, PPOTrainer
+
+    return PPOTrainer(PPOConfig(env_name="CartPole-v1", num_envs=4096,
+                                rollout_steps=64, minibatch_size=32768, num_epochs=4))
+
+
+def dqn_cartpole():
+    from gymrl_tpu.algos.dqn import DQNConfig, DQNTrainer
+
+    return DQNTrainer(DQNConfig(num_envs=1024, steps_per_iter=64, updates_per_step=1))
+
+
+def rainbow_cartpole():
+    from gymrl_tpu.algos.dqn_variants import DQNFamilyTrainer, rainbow_config
+
+    return DQNFamilyTrainer(rainbow_config(num_envs=512, steps_per_iter=32,
+                                           updates_per_step=1))
+
+
+def sac_pendulum():
+    from gymrl_tpu.algos.continuous import SACTrainer, sac_config
+
+    return SACTrainer(sac_config(num_envs=1024, steps_per_iter=64, updates_per_step=1))
+
+
+def ppo_lstm_lunarlander():
+    from gymrl_tpu.algos.ppo_lstm import PPOLSTMConfig, PPOLSTMTrainer
+
+    return PPOLSTMTrainer(PPOLSTMConfig(num_envs=512, rollout_steps=64,
+                                        seq_minibatch=512))
+
+
+WORKLOADS = {
+    "ppo_lunarlander": ppo_lunarlander,
+    "ppo_cartpole": ppo_cartpole,
+    "dqn_cartpole": dqn_cartpole,
+    "rainbow_cartpole": rainbow_cartpole,
+    "sac_pendulum": sac_pendulum,
+    "ppo_lstm_lunarlander": ppo_lstm_lunarlander,
+}
+
+
+def main(argv):
+    names = argv or list(WORKLOADS)
+    for name in names:
+        trainer = WORKLOADS[name]()
+        sps = _bench_trainer(trainer)
+        print(json.dumps({"workload": name, "env_steps_per_s": round(sps, 1)}), flush=True)
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

@@ -29,6 +29,24 @@ import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def initialize_multihost(coordinator_address: str | None = None,
+                         num_processes: int | None = None,
+                         process_id: int | None = None) -> int:
+    """Bootstrap the multi-host process group (SURVEY.md §5.8).
+
+    On TPU pods the arguments auto-detect from the environment; explicit
+    values support CPU/GPU multi-process testing. Returns the process index.
+    Call once before `make_mesh` — afterwards `jax.devices()` spans all
+    hosts and the same sharded program scales out.
+    """
+    kwargs = {}
+    if coordinator_address is not None:
+        kwargs = dict(coordinator_address=coordinator_address,
+                      num_processes=num_processes, process_id=process_id)
+    jax.distributed.initialize(**kwargs)
+    return jax.process_index()
+
+
 def make_mesh(n_data: int | None = None, n_model: int = 1, devices=None) -> Mesh:
     """Build a ('data', 'model') mesh over the available devices."""
     devices = devices if devices is not None else jax.devices()

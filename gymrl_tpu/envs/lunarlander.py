@@ -36,12 +36,14 @@ impulse contact solver. We reproduce:
     tanh(sin(2kx)+sin(πkx)) pseudo-noise and integer index walk.
 
 The deliberate approximation: leg joints do not flex on touchdown (Box2D
-lets them compress against the 40 N·m motor). Contact instead resolves on
-4 leg-corner points + 6 hull vertices with restitution 0 and mixed friction
-√(0.1·0.2). Free flight matches gymnasium to numerical tolerance (see
-tests/test_lunarlander.py); touchdown differs only through that suspension
-stiffness, which is within the seed-to-seed variance the curve-parity
-target allows (SURVEY.md §7.3 item 1).
+lets them compress against the 40 N·m motor). Contact resolves on the 4
+leg-corner points with restitution 0 and mixed friction √(0.1·0.2); hull
+contact terminates immediately (game_over, like gymnasium's
+ContactDetector) and therefore needs no impulse resolution. Free flight
+matches gymnasium to numerical tolerance (see tests/test_lunarlander.py);
+touchdown differs only through that suspension stiffness, which is within
+the seed-to-seed variance the curve-parity target allows (SURVEY.md §7.3
+item 1).
 """
 
 from __future__ import annotations
@@ -100,8 +102,6 @@ def _leg_corners() -> np.ndarray:
 
 
 LEG_PTS = _leg_corners()  # [4, 2]; rows 0-1 = +x leg, 2-3 = -x leg
-CONTACT_PTS = np.concatenate([LEG_PTS, HULL_PTS], axis=0)  # [10, 2]
-N_LEG_PTS = 4
 
 CONTACT_FRICTION = float(np.sqrt(0.1 * 0.2))  # Box2D mixes √(ground·leg)
 BAUMGARTE = 0.2
@@ -336,33 +336,40 @@ class LunarLander(Env):
         # Gravity (Box2D: v += dt·g before the contact velocity solve).
         vel = vel + jnp.array([0.0, DT * params.gravity])
 
-        # Contact velocity solve: sequential impulses on 10 candidate points.
+        # Contact velocity solve — sequential impulses (Gauss-Seidel) over
+        # the 4 LEG corner points only. Hull-ground contact terminates the
+        # episode (game_over, exactly like gymnasium's ContactDetector), so
+        # the hull never needs impulse resolution — that cuts the solver
+        # from 10 points to 4 and the sequential depth from 80 to 24 rounds
+        # (hot-loop latency matters inside the vmapped rollout scan on TPU).
         rot = _rot(angle)
-        pts_world = pos[None, :] + (CONTACT_PTS @ rot.T)  # [10, 2]
-        ground = jax.vmap(lambda x: _terrain_height(state.terrain, x))(pts_world[:, 0])
-        normals = jax.vmap(lambda x: _terrain_normal(state.terrain, x))(pts_world[:, 0])
-        penetration = ground - pts_world[:, 1]  # >0 ⇒ below ground
-        touching = penetration > 0.0
+        leg_pts_w = pos[None, :] + (LEG_PTS @ rot.T)  # [4, 2]
+        leg_ground_s = jax.vmap(lambda x: _terrain_height(state.terrain, x))(leg_pts_w[:, 0])
+        leg_normals = jax.vmap(lambda x: _terrain_normal(state.terrain, x))(leg_pts_w[:, 0])
+        touching = (leg_ground_s - leg_pts_w[:, 1]) > 0.0
+
+        r_pts = leg_pts_w - com_world  # [4, 2]
+        n_vec = leg_normals
+        t_all = jnp.stack([n_vec[:, 1], -n_vec[:, 0]], axis=-1)
+        rn_all = r_pts[:, 0] * n_vec[:, 1] - r_pts[:, 1] * n_vec[:, 0]
+        rt_all = r_pts[:, 0] * t_all[:, 1] - r_pts[:, 1] * t_all[:, 0]
+        k_n_all = 1.0 / BODY_MASS + rn_all * rn_all / BODY_INERTIA
+        k_t_all = 1.0 / BODY_MASS + rt_all * rt_all / BODY_INERTIA
 
         def solve_point(carry, i):
             vel, omega = carry
-            n = normals[i]
-            r = pts_world[i] - com_world
-            u = vel + omega * jnp.array([-r[1], r[0]])  # point velocity
-            vn = u @ n
-            rn = r[0] * n[1] - r[1] * n[0]
-            k_n = 1.0 / BODY_MASS + rn * rn / BODY_INERTIA
-            lam = jnp.where(touching[i] & (vn < 0.0), -vn / k_n, 0.0)
-            vel, omega = apply_impulse_local(vel, omega, lam * n, r)
-            # Friction along tangent, clamped by μ·λ.
-            t_vec = jnp.array([n[1], -n[0]])
+            n = n_vec[i]
+            r = r_pts[i]
             u = vel + omega * jnp.array([-r[1], r[0]])
-            vt = u @ t_vec
-            rt = r[0] * t_vec[1] - r[1] * t_vec[0]
-            k_t = 1.0 / BODY_MASS + rt * rt / BODY_INERTIA
-            lam_t = jnp.clip(-vt / k_t, -CONTACT_FRICTION * lam, CONTACT_FRICTION * lam)
+            vn = u @ n
+            lam = jnp.where(touching[i] & (vn < 0.0), -vn / k_n_all[i], 0.0)
+            vel, omega = apply_impulse_local(vel, omega, lam * n, r)
+            t_v = t_all[i]
+            u = vel + omega * jnp.array([-r[1], r[0]])
+            vt = u @ t_v
+            lam_t = jnp.clip(-vt / k_t_all[i], -CONTACT_FRICTION * lam, CONTACT_FRICTION * lam)
             lam_t = jnp.where(touching[i], lam_t, 0.0)
-            vel, omega = apply_impulse_local(vel, omega, lam_t * t_vec, r)
+            vel, omega = apply_impulse_local(vel, omega, lam_t * t_v, r)
             return (vel, omega), None
 
         def apply_impulse_local(vel, omega, impulse, r):
@@ -370,18 +377,18 @@ class LunarLander(Env):
             omega = omega + (r[0] * impulse[1] - r[1] * impulse[0]) / BODY_INERTIA
             return vel, omega
 
-        n_pts = CONTACT_PTS.shape[0]
-        iters = jnp.tile(jnp.arange(n_pts), 8)  # 8 sequential-impulse sweeps
-        (vel, omega), _ = jax.lax.scan(solve_point, (vel, omega), iters)
+        sweep = jnp.tile(jnp.arange(LEG_PTS.shape[0]), 6)  # 6 GS sweeps
+        (vel, omega), _ = jax.lax.scan(solve_point, (vel, omega), sweep)
 
         # Integrate positions (semi-implicit Euler, Box2D order).
         pos = pos + DT * vel
         angle = angle + DT * omega
 
         # Positional correction (Baumgarte split-impulse analogue): push the
-        # body out along the deepest contact normal.
+        # body out along the deepest LEG contact normal (hull contact is a
+        # crash, never resolved).
         rot2 = _rot(angle)
-        pts2 = pos[None, :] + (CONTACT_PTS @ rot2.T)
+        pts2 = pos[None, :] + (LEG_PTS @ rot2.T)
         ground2 = jax.vmap(lambda x: _terrain_height(state.terrain, x))(pts2[:, 0])
         pen2 = ground2 - pts2[:, 1]
         deepest = jnp.argmax(pen2)

@@ -213,6 +213,50 @@ class DSConv(nn.Module):
         return nn.Conv(self.features, (1, 1), name="pointwise")(x)
 
 
+class NoisyConv2d(nn.Module):
+    """Noisy convolution layer — parity with utils/model.py:126-184 (dead
+    code in the reference's algorithms, kept for inventory completeness).
+
+    Factorized noise over (in·kh·kw) × out, resampled per call via the
+    'noise' rng collection like NoisyDense; μ-only when deterministic.
+    """
+
+    features: int
+    kernel_size: tuple[int, int] = (3, 3)
+    strides: tuple[int, int] = (1, 1)
+    sigma_init: float = 0.5
+
+    @nn.compact
+    def __call__(self, x, *, deterministic: bool = False):
+        in_ch = x.shape[-1]
+        kh, kw = self.kernel_size
+        fan_in = in_ch * kh * kw
+        mu_range = 1.0 / np.sqrt(fan_in)
+        w_mu = self.param("kernel_mu", gl_init.uniform_range(mu_range),
+                          (kh, kw, in_ch, self.features))
+        w_sigma = self.param("kernel_sigma", gl_init.constant(self.sigma_init / np.sqrt(fan_in)),
+                             (kh, kw, in_ch, self.features))
+        b_mu = self.param("bias_mu", gl_init.uniform_range(mu_range), (self.features,))
+        b_sigma = self.param("bias_sigma", gl_init.constant(self.sigma_init / np.sqrt(self.features)),
+                             (self.features,))
+
+        use_noise = (not deterministic) and self.has_rng("noise")
+        if use_noise:
+            key = self.make_rng("noise")
+            k_in, k_out = jax.random.split(key)
+            eps_in = _scale_noise(jax.random.normal(k_in, (fan_in,))).reshape(kh, kw, in_ch, 1)
+            eps_out = _scale_noise(jax.random.normal(k_out, (self.features,)))
+            w = w_mu + w_sigma * (eps_in * eps_out[None, None, None, :])
+            b = b_mu + b_sigma * eps_out
+        else:
+            w, b = w_mu, b_mu
+        y = jax.lax.conv_general_dilated(
+            x, w.astype(x.dtype), window_strides=self.strides, padding="VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        return y + b.astype(y.dtype)
+
+
 def positional_encoding(seq_len: int, d_model: int) -> jax.Array:
     """Sinusoidal PE table [seq_len, d_model] (utils/model.py:189-211)."""
     position = np.arange(seq_len)[:, None].astype(np.float32)

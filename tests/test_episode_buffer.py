@@ -1,0 +1,66 @@
+"""Episode-major padded buffer, FIFO queue, NoisyConv2d parity tests."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from gymrl_tpu.nn.layers import NoisyConv2d
+from gymrl_tpu.replay.episode import (
+    episode_buffer_clear,
+    episode_buffer_init,
+    episode_buffer_store,
+    queue_init,
+    queue_push,
+    queue_sample,
+)
+
+
+def test_episode_buffer_padding_and_rollover():
+    st = episode_buffer_init({"r": jnp.zeros(())}, n_episodes=3, max_steps=5)
+    # episode 0: length 2; episode 1: length 3
+    for i, done in [(1, False), (2, True), (10, False), (11, False), (12, True)]:
+        st = episode_buffer_store(st, {"r": jnp.asarray(float(i))}, done)
+    assert int(st.ep_index) == 2
+    lengths = np.asarray(st.lengths)
+    assert lengths[0] == 2 and lengths[1] == 3
+    active = np.asarray(st.active)
+    assert active[0, :2].all() and not active[0, 2:].any()
+    assert active[1, :3].all() and not active[1, 3:].any()
+    data = np.asarray(st.data["r"])
+    np.testing.assert_allclose(data[0, :2], [1, 2])
+    np.testing.assert_allclose(data[1, :3], [10, 11, 12])
+    assert not bool(st.full)
+
+    # fill episode 2 → buffer reports full, wraps to row 0 and clears it
+    st = episode_buffer_store(st, {"r": jnp.asarray(99.0)}, True)
+    assert bool(st.full)
+    assert int(st.ep_index) == 0
+    assert int(st.lengths[0]) == 0  # row 0 reset for reuse
+
+    st = episode_buffer_clear(st)
+    assert not bool(st.full) and int(st.lengths.sum()) == 0
+
+
+def test_queue_fifo_and_sample():
+    st = queue_init({"x": jnp.zeros(())}, capacity=4)
+    for i in range(6):  # overflows: keeps last 4 (ring semantics)
+        st = queue_push(st, {"x": jnp.asarray(float(i))})
+    assert int(st.size) == 4
+    vals = set(np.asarray(st.data["x"]).tolist())
+    assert vals == {2.0, 3.0, 4.0, 5.0}
+    batch = queue_sample(st, jax.random.PRNGKey(0), 16)
+    assert set(np.asarray(batch["x"]).tolist()) <= vals
+
+
+def test_noisy_conv2d():
+    layer = NoisyConv2d(8, kernel_size=(3, 3))
+    x = jnp.ones((2, 10, 10, 3))
+    params = layer.init({"params": jax.random.PRNGKey(0)}, x)
+    det = layer.apply(params, x, deterministic=True)
+    assert det.shape == (2, 8, 8, 8)
+    na = layer.apply(params, x, rngs={"noise": jax.random.PRNGKey(1)})
+    nb = layer.apply(params, x, rngs={"noise": jax.random.PRNGKey(2)})
+    assert not np.allclose(np.asarray(na), np.asarray(nb))
+    np.testing.assert_array_equal(
+        np.asarray(layer.apply(params, x, deterministic=True)), np.asarray(det)
+    )
