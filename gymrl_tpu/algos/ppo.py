@@ -156,23 +156,28 @@ class PPOTrainer(Trainer):
             self._jit_train_iter = jax.jit(self._train_iter)
 
     # -- sharding layout ------------------------------------------------------
+    def _param_sharding(self, path, leaf):
+        """Megatron-style TP over the trunk when the mesh has a model axis:
+        shared_0 kernel column-split [in, H/tp], shared_1 row-split
+        [H/tp, H] — XLA inserts the all-reduce after the row-parallel
+        matmul. Heads and everything else replicate over 'model'.
+        """
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        if self.mesh.shape.get("model", 1) > 1 and leaf.ndim == 2:
+            name = "/".join(str(p) for p in path)
+            if "shared_0" in name and "kernel" in name:
+                return NamedSharding(self.mesh, P(None, "model"))
+            if "shared_1" in name and "kernel" in name:
+                return NamedSharding(self.mesh, P("model", None))
+        return replicated(self.mesh)
+
     def _state_shardings(self):
-        """params/opt replicated; env batch axis sharded on 'data'."""
-        rep = replicated(self.mesh)
-        bsh = batch_sharding(self.mesh, 0)
+        """env batch axis on 'data'; trunk weights on 'model' (TP); rest
+        replicated. Gradients reduce over 'data' automatically; the TP
+        trunk's activations all-reduce over 'model'."""
         example = self.init(jax.random.PRNGKey(0), _place=False)
-        def spec(path_leaf):
-            return path_leaf
-        return PPOTrainState(
-            params=jax.tree_util.tree_map(lambda _: rep, example.params),
-            opt_state=jax.tree_util.tree_map(lambda _: rep, example.opt_state),
-            vec_state=jax.tree_util.tree_map(
-                lambda x: bsh if jnp.ndim(x) >= 1 else rep, example.vec_state
-            ),
-            obs_rms=jax.tree_util.tree_map(lambda _: rep, example.obs_rms),
-            key=rep,
-            env_steps=rep,
-        )
+        return self._shardings_for(example)
 
     # -- API ------------------------------------------------------------------
     def init(self, key, _place: bool = True) -> PPOTrainState:
@@ -188,12 +193,30 @@ class PPOTrainer(Trainer):
             env_steps=jnp.zeros((), jnp.int32),
         )
         if self.mesh is not None and _place:
-            ts = ts._replace(
-                vec_state=shard_pytree_batch(ts.vec_state, self.mesh),
-                params=jax.device_put(ts.params, replicated(self.mesh)),
-                opt_state=jax.device_put(ts.opt_state, replicated(self.mesh)),
-            )
+            sh = self._shardings_for(ts)
+            ts = jax.tree_util.tree_map(jax.device_put, ts, sh)
         return ts
+
+    def _shardings_for(self, ts: "PPOTrainState"):
+        """Sharding pytree matching ``ts``'s structure exactly."""
+        rep = replicated(self.mesh)
+        bsh = batch_sharding(self.mesh, 0)
+        return PPOTrainState(
+            params=jax.tree_util.tree_map_with_path(self._param_sharding, ts.params),
+            opt_state=jax.tree_util.tree_map_with_path(
+                self._opt_sharding, ts.opt_state
+            ),
+            vec_state=jax.tree_util.tree_map(
+                lambda x: bsh if jnp.ndim(x) >= 1 else rep, ts.vec_state
+            ),
+            obs_rms=jax.tree_util.tree_map(lambda _: rep, ts.obs_rms),
+            key=rep,
+            env_steps=rep,
+        )
+
+    def _opt_sharding(self, path, leaf):
+        """Adam moments mirror their parameter's layout (same trailing path)."""
+        return self._param_sharding(path, leaf)
 
     def policy(self, ts: PPOTrainState, obs, key, deterministic: bool = True):
         obs = self._norm(ts.obs_rms, obs)
