@@ -145,11 +145,47 @@ class TrainLoop:
         returns, lengths = self.trainer.eval_episodes(ts, jax.random.PRNGKey(seed), episodes)
         return float(np.mean(returns)), float(np.mean(lengths))
 
-    def test(self, ts, episodes: int = 5):
-        """Reference `test()` = eval + render episode; headless here ⇒ eval only."""
+    def test(self, ts, episodes: int = 5, render: bool = False):
+        """Reference `test()` = eval + a rendered episode (dqn_cartpole.py:237-253).
+
+        Headless render: writes a GIF under ./exp/renders/ instead of a
+        window when the env has a renderer.
+        """
         mean_r, mean_len = self.evaluate(ts, episodes)
         logger.info(f"test: mean reward {mean_r:.1f}, mean length {mean_len:.0f}")
+        if render:
+            path = self.render_episode(ts)
+            if path:
+                logger.info(f"render saved to {path}")
         return mean_r
+
+    def render_episode(self, ts, seed: int = 0, max_frames: int = 1000):
+        """Roll one deterministic episode and save it as a GIF."""
+        import os
+
+        from gymrl_tpu.envs.render import render, save_gif
+
+        env = self.trainer.venv.env
+        params = self.trainer.venv.params
+        if render(env, env.reset(params, jax.random.PRNGKey(seed))[0]) is None:
+            logger.info(f"no renderer registered for {env.name}")
+            return None
+
+        step = jax.jit(env.step)
+        key = jax.random.PRNGKey(seed)
+        state, obs = jax.jit(env.reset)(params, key)
+        frames = [render(env, jax.device_get(state))]
+        for _ in range(min(max_frames, env.max_steps)):
+            key, k_act, k_step = jax.random.split(key, 3)
+            action = self.trainer.policy(ts, obs[None, ...], k_act, deterministic=True)[0]
+            sr = step(params, state, action, k_step)
+            state, obs = sr.state, sr.obs
+            frames.append(render(env, jax.device_get(state)))
+            if bool(sr.terminated) or bool(sr.truncated):
+                break
+        os.makedirs("./exp/renders", exist_ok=True)
+        path = f"./exp/renders/{self.algo_name}_{self.env_name}.gif"
+        return save_gif(frames, path)
 
 
 def run_benchmark(trainer_cls, cfg, algo_name: str, *, seed: int = 0, **loop_kwargs):
