@@ -16,7 +16,7 @@ def main():
 
     cfg = PPOConfig(
         env_name="LunarLander-v3",
-        num_envs=2048,
+        num_envs=8192,
         rollout_steps=64,
         minibatch_size=16384,
         num_epochs=4,

@@ -139,7 +139,10 @@ def _rot(angle):
 
 
 def _terrain_height(terrain: jax.Array, x: jax.Array) -> jax.Array:
-    """Piecewise-linear ground height at world x (chunk_x[i] = W/(CHUNKS-1)·i)."""
+    """Piecewise-linear ground height at world x (chunk_x[i] = W/(CHUNKS-1)·i).
+
+    Accepts scalar or vector ``x`` (gather-indexed, no vmap wrapper needed).
+    """
     dx = W / (CHUNKS - 1)
     xi = jnp.clip(x / dx, 0.0, CHUNKS - 1 - 1e-6)
     i0 = jnp.floor(xi).astype(jnp.int32)
@@ -148,13 +151,13 @@ def _terrain_height(terrain: jax.Array, x: jax.Array) -> jax.Array:
 
 
 def _terrain_normal(terrain: jax.Array, x: jax.Array) -> jax.Array:
-    """Unit normal of the terrain segment under x."""
+    """Unit normal(s) of the terrain segment under x (scalar or [N] x)."""
     dx = W / (CHUNKS - 1)
     xi = jnp.clip(x / dx, 0.0, CHUNKS - 1 - 1e-6)
     i0 = jnp.floor(xi).astype(jnp.int32)
     slope = (terrain[i0 + 1] - terrain[i0]) / dx
-    n = jnp.array([-slope, 1.0])
-    return n / jnp.linalg.norm(n)
+    n = jnp.stack([-slope, jnp.ones_like(slope)], axis=-1)
+    return n / jnp.linalg.norm(n, axis=-1, keepdims=True)
 
 
 class LunarLander(Env):
@@ -253,7 +256,13 @@ class LunarLander(Env):
             t=jnp.zeros((), jnp.int32),
         )
         noop = jnp.zeros((2,), jnp.float32) if self.continuous else jnp.zeros((), jnp.int32)
-        result = self._physics_step(params, state, noop, k_step)
+        # contacts=False: the lander spawns at the viewport top (y=H) and the
+        # terrain tops out below H/2+smoothing, so ground contact in the reset
+        # step is geometrically impossible — skipping the contact solver /
+        # hull check / leg flags is exact, and it matters because VecEnv's
+        # autoreset evaluates reset() for the whole batch on EVERY rollout
+        # step (the solver would otherwise run twice per env-step).
+        result = self._physics_step(params, state, noop, k_step, contacts=False)
         st = result.state._replace(t=jnp.zeros((), jnp.int32))
         return st, result.obs
 
@@ -261,7 +270,8 @@ class LunarLander(Env):
     def step(self, params: LunarLanderParams, state: LunarLanderState, action, key) -> StepResult:
         return self._physics_step(params, state, action, key)
 
-    def _physics_step(self, params, state: LunarLanderState, action, key) -> StepResult:
+    def _physics_step(self, params, state: LunarLanderState, action, key,
+                      contacts: bool = True) -> StepResult:
         k_disp = key
         pos, vel, angle, omega = state.pos, state.vel, state.angle, state.omega
         wind_idx, torque_idx = state.wind_idx, state.torque_idx
@@ -336,79 +346,84 @@ class LunarLander(Env):
         # Gravity (Box2D: v += dt·g before the contact velocity solve).
         vel = vel + jnp.array([0.0, DT * params.gravity])
 
-        # Contact velocity solve — sequential impulses (Gauss-Seidel) over
-        # the 4 LEG corner points only. Hull-ground contact terminates the
-        # episode (game_over, exactly like gymnasium's ContactDetector), so
-        # the hull never needs impulse resolution — that cuts the solver
-        # from 10 points to 4 and the sequential depth from 80 to 24 rounds
-        # (hot-loop latency matters inside the vmapped rollout scan on TPU).
-        rot = _rot(angle)
-        leg_pts_w = pos[None, :] + (LEG_PTS @ rot.T)  # [4, 2]
-        leg_ground_s = jax.vmap(lambda x: _terrain_height(state.terrain, x))(leg_pts_w[:, 0])
-        leg_normals = jax.vmap(lambda x: _terrain_normal(state.terrain, x))(leg_pts_w[:, 0])
-        touching = (leg_ground_s - leg_pts_w[:, 1]) > 0.0
+        if contacts:
+            # Contact velocity solve — sequential impulses (Gauss-Seidel) over
+            # the 4 LEG corner points only. Hull-ground contact terminates the
+            # episode (game_over, exactly like gymnasium's ContactDetector), so
+            # the hull never needs impulse resolution — that cuts the solver
+            # from 10 points to 4 and the sequential depth from 80 to 24 rounds.
+            # The 24 rounds are fully unrolled (Python loop, tiny elementwise
+            # bodies): no scan per-iteration overhead, XLA fuses the chain.
+            rot = _rot(angle)
+            leg_pts_w = pos[None, :] + (LEG_PTS @ rot.T)  # [4, 2]
+            leg_ground_s = _terrain_height(state.terrain, leg_pts_w[:, 0])
+            leg_normals = _terrain_normal(state.terrain, leg_pts_w[:, 0])
+            touching = (leg_ground_s - leg_pts_w[:, 1]) > 0.0
 
-        r_pts = leg_pts_w - com_world  # [4, 2]
-        n_vec = leg_normals
-        t_all = jnp.stack([n_vec[:, 1], -n_vec[:, 0]], axis=-1)
-        rn_all = r_pts[:, 0] * n_vec[:, 1] - r_pts[:, 1] * n_vec[:, 0]
-        rt_all = r_pts[:, 0] * t_all[:, 1] - r_pts[:, 1] * t_all[:, 0]
-        k_n_all = 1.0 / BODY_MASS + rn_all * rn_all / BODY_INERTIA
-        k_t_all = 1.0 / BODY_MASS + rt_all * rt_all / BODY_INERTIA
+            r_pts = leg_pts_w - com_world  # [4, 2]
+            n_vec = leg_normals
+            t_all = jnp.stack([n_vec[:, 1], -n_vec[:, 0]], axis=-1)
+            rn_all = r_pts[:, 0] * n_vec[:, 1] - r_pts[:, 1] * n_vec[:, 0]
+            rt_all = r_pts[:, 0] * t_all[:, 1] - r_pts[:, 1] * t_all[:, 0]
+            k_n_all = 1.0 / BODY_MASS + rn_all * rn_all / BODY_INERTIA
+            k_t_all = 1.0 / BODY_MASS + rt_all * rt_all / BODY_INERTIA
 
-        def solve_point(carry, i):
-            vel, omega = carry
-            n = n_vec[i]
-            r = r_pts[i]
-            u = vel + omega * jnp.array([-r[1], r[0]])
-            vn = u @ n
-            lam = jnp.where(touching[i] & (vn < 0.0), -vn / k_n_all[i], 0.0)
-            vel, omega = apply_impulse_local(vel, omega, lam * n, r)
-            t_v = t_all[i]
-            u = vel + omega * jnp.array([-r[1], r[0]])
-            vt = u @ t_v
-            lam_t = jnp.clip(-vt / k_t_all[i], -CONTACT_FRICTION * lam, CONTACT_FRICTION * lam)
-            lam_t = jnp.where(touching[i], lam_t, 0.0)
-            vel, omega = apply_impulse_local(vel, omega, lam_t * t_v, r)
-            return (vel, omega), None
+            def apply_impulse_local(vel, omega, impulse, r):
+                vel = vel + impulse / BODY_MASS
+                omega = omega + (r[0] * impulse[1] - r[1] * impulse[0]) / BODY_INERTIA
+                return vel, omega
 
-        def apply_impulse_local(vel, omega, impulse, r):
-            vel = vel + impulse / BODY_MASS
-            omega = omega + (r[0] * impulse[1] - r[1] * impulse[0]) / BODY_INERTIA
-            return vel, omega
-
-        sweep = jnp.tile(jnp.arange(LEG_PTS.shape[0]), 6)  # 6 GS sweeps
-        (vel, omega), _ = jax.lax.scan(solve_point, (vel, omega), sweep)
+            for _ in range(6):  # 6 GS sweeps × 4 points, unrolled
+                for i in range(LEG_PTS.shape[0]):
+                    n = n_vec[i]
+                    r = r_pts[i]
+                    u = vel + omega * jnp.array([-1.0, 1.0]) * r[::-1]
+                    vn = u @ n
+                    lam = jnp.where(touching[i] & (vn < 0.0), -vn / k_n_all[i], 0.0)
+                    vel, omega = apply_impulse_local(vel, omega, lam * n, r)
+                    t_v = t_all[i]
+                    u = vel + omega * jnp.array([-1.0, 1.0]) * r[::-1]
+                    vt = u @ t_v
+                    lam_t = jnp.clip(-vt / k_t_all[i], -CONTACT_FRICTION * lam,
+                                     CONTACT_FRICTION * lam)
+                    lam_t = jnp.where(touching[i], lam_t, 0.0)
+                    vel, omega = apply_impulse_local(vel, omega, lam_t * t_v, r)
 
         # Integrate positions (semi-implicit Euler, Box2D order).
         pos = pos + DT * vel
         angle = angle + DT * omega
 
-        # Positional correction (Baumgarte split-impulse analogue): push the
-        # body out along the deepest LEG contact normal (hull contact is a
-        # crash, never resolved).
-        rot2 = _rot(angle)
-        pts2 = pos[None, :] + (LEG_PTS @ rot2.T)
-        ground2 = jax.vmap(lambda x: _terrain_height(state.terrain, x))(pts2[:, 0])
-        pen2 = ground2 - pts2[:, 1]
-        deepest = jnp.argmax(pen2)
-        corr = BAUMGARTE * jnp.maximum(pen2[deepest] - LINEAR_SLOP, 0.0)
-        n_deep = _terrain_normal(state.terrain, pts2[deepest, 0])
-        pos = pos + jnp.clip(corr, 0.0, 0.2) * n_deep
+        if contacts:
+            # Positional correction (Baumgarte split-impulse analogue): push the
+            # body out along the deepest LEG contact normal (hull contact is a
+            # crash, never resolved).
+            rot2 = _rot(angle)
+            pts2 = pos[None, :] + (LEG_PTS @ rot2.T)
+            ground2 = _terrain_height(state.terrain, pts2[:, 0])
+            pen2 = ground2 - pts2[:, 1]
+            deepest = jnp.argmax(pen2)
+            corr = BAUMGARTE * jnp.maximum(pen2[deepest] - LINEAR_SLOP, 0.0)
+            n_deep = _terrain_normal(state.terrain, pts2[deepest, 0])
+            pos = pos + jnp.clip(corr, 0.0, 0.2) * n_deep
 
-        # Contact flags after integration (for obs + next-step wind gating).
-        rot3 = _rot(angle)
-        leg_world = pos[None, :] + (LEG_PTS @ rot3.T)
-        leg_ground = jax.vmap(lambda x: _terrain_height(state.terrain, x))(leg_world[:, 0])
-        leg_touch = (leg_ground - leg_world[:, 1]) > -LINEAR_SLOP
-        # obs order: legs[0] is the i=-1 leg (at +x), legs[1] the i=+1 leg.
-        leg_contact = jnp.array(
-            [leg_touch[0] | leg_touch[1], leg_touch[2] | leg_touch[3]]
-        )
+            # Contact flags after integration (for obs + next-step wind gating).
+            rot3 = _rot(angle)
+            leg_world = pos[None, :] + (LEG_PTS @ rot3.T)
+            leg_ground = _terrain_height(state.terrain, leg_world[:, 0])
+            leg_touch = (leg_ground - leg_world[:, 1]) > -LINEAR_SLOP
+            # obs order: legs[0] is the i=-1 leg (at +x), legs[1] the i=+1 leg.
+            leg_contact = jnp.array(
+                [leg_touch[0] | leg_touch[1], leg_touch[2] | leg_touch[3]]
+            )
 
-        hull_world = pos[None, :] + (HULL_PTS @ rot3.T)
-        hull_ground = jax.vmap(lambda x: _terrain_height(state.terrain, x))(hull_world[:, 0])
-        body_hit = jnp.any(hull_ground - hull_world[:, 1] > 0.0)
+            hull_world = pos[None, :] + (HULL_PTS @ rot3.T)
+            hull_ground = _terrain_height(state.terrain, hull_world[:, 0])
+            body_hit = jnp.any(hull_ground - hull_world[:, 1] > 0.0)
+        else:
+            # Reset-time step: the body is far above the terrain's maximum
+            # possible height, so no contact, no crash, no leg flags.
+            leg_contact = jnp.zeros((2,), bool)
+            body_hit = jnp.zeros((), bool)
 
         # Sleep bookkeeping (+100 landing detection).
         quiet = (jnp.linalg.norm(vel) < SLEEP_LIN_TOL) & (jnp.abs(omega) < SLEEP_ANG_TOL)
