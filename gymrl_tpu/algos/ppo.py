@@ -74,6 +74,10 @@ class PPOConfig:
     normalize_obs: bool = False  # plain PPO matches ref (no state_norm)
     max_train_steps: int = 1_000_000
     solve_threshold: float = 200.0
+    # Fused Pallas actor-critic forward on the rollout path (TPU only;
+    # inference-only so autodiff in the update is untouched). Ignored when
+    # a mesh with a model axis shards the trunk (kernel wants full weights).
+    use_pallas: bool = False
 
     @property
     def batch_total(self) -> int:
@@ -232,6 +236,16 @@ class PPOTrainer(Trainer):
     def _norm(self, rms, obs):
         return normalize_obs(rms, obs) if self.cfg.normalize_obs else obs
 
+    def _rollout_forward(self, params, obs):
+        """Policy forward on the (no-grad) rollout path. Dispatches to the
+        fused Pallas kernel when enabled and the weights are unsharded."""
+        tp = self.mesh is not None and self.mesh.shape.get("model", 1) > 1
+        if self.cfg.use_pallas and not tp:
+            from gymrl_tpu.ops import fused_policy_forward
+
+            return fused_policy_forward(params, obs)
+        return self.net.apply(params, obs)
+
     def _collect(self, ts: PPOTrainState):
         cfg = self.cfg
 
@@ -239,7 +253,7 @@ class PPOTrainer(Trainer):
             vec_state, obs_rms, key = carry
             key, k_act, k_step = jax.random.split(key, 3)
             nobs = self._norm(obs_rms, vec_state.obs)
-            logits, value = self.net.apply(ts.params, nobs)
+            logits, value = self._rollout_forward(ts.params, nobs)
             action = jax.random.categorical(k_act, logits).astype(jnp.int32)
             logp, _ = categorical_logp_entropy(logits, action)
             vec_state, tr = self.venv.step(vec_state, action, k_step)
@@ -298,7 +312,9 @@ class PPOTrainer(Trainer):
         # Values of true successors in ONE batched forward (bootstrap for
         # truncation; terminated steps are masked by (1-dw) inside GAE).
         next_nobs = self._norm(obs_rms, roll.next_obs)
-        _, next_values = self.net.apply(ts.params, next_nobs.reshape(-1, next_nobs.shape[-1]))
+        _, next_values = self._rollout_forward(
+            ts.params, next_nobs.reshape(-1, next_nobs.shape[-1])
+        )
         next_values = next_values.reshape(roll.value.shape)
 
         adv, v_target = compute_gae(
