@@ -17,6 +17,18 @@ from gymrl_tpu.utils.logging import get_logger
 logger = get_logger()
 
 
+def show_config(cfg, algo: str) -> None:
+    """Pretty-print the config at startup (ref BasicConfig.show,
+    utils/runner.py:39-43)."""
+    logger.info(f"{algo} config:")
+    fields = getattr(cfg, "__dataclass_fields__", None)
+    items = (
+        {k: getattr(cfg, k) for k in fields} if fields else vars(cfg)
+    )
+    for k, v in items.items():
+        logger.info(f"  {k}: {v}")
+
+
 def _dqn_cartpole():
     from gymrl_tpu.algos.dqn import DQNConfig, DQNTrainer
     return DQNTrainer(DQNConfig()), "DQN", 495.0
@@ -166,6 +178,7 @@ def main(argv=None):
     if built is None:  # baseline-style workloads run themselves
         return 0
     trainer, algo, solve = built
+    show_config(trainer.cfg, algo)
     loop = TrainLoop(trainer, algo, save_every=100_000, eval_every=100_000)
     ts, stats = loop.train(trainer.cfg.max_train_steps, solve_threshold=solve)
     loop.test(ts)
