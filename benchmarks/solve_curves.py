@@ -2,13 +2,15 @@
 thresholds and record env-steps + wall time to solve.
 
 The reference's acceptance criterion is "avg100 reward ≥ threshold"
-(SURVEY.md §4); this harness reproduces that check per workload with the
+(SURVEY.md §4: e.g. algorithms/dqn_cartpole.py:207 avg100 ≥ 495,
+algorithms/ppo_full_lunarlander.py:659-666 / ppg_rnn_lunarlander.py:493
+avg100 ≥ 200); this harness reproduces that check per workload with the
 vectorized trainers. Usage:
 
-    python benchmarks/solve_curves.py ppo_lunarlander dqn_cartpole ...
+    python benchmarks/solve_curves.py [--out FILE] [--seed N] <workload> ...
 
-One JSON line per workload: {"workload", "solved", "env_steps", "wall_s",
-"avg100"}.
+One JSON line per workload (appended to --out if given):
+{"workload", "solved", "env_steps", "wall_s", "avg100", "seed"}.
 """
 
 from __future__ import annotations
@@ -17,6 +19,10 @@ import json
 import sys
 
 from gymrl_tpu.run.loop import TrainLoop
+
+# Pendulum has no official solve threshold; the reference just watches the
+# curve. avg100 ≥ -200 is the community-standard "solved" bar we adopt.
+PENDULUM_BAR = -200.0
 
 
 def build(name):
@@ -35,10 +41,31 @@ def build(name):
         cfg = PPOConfig(env_name="LunarLander-v3", num_envs=64, rollout_steps=64,
                         minibatch_size=256, max_train_steps=10_000_000)
         return PPOTrainer(cfg), 200.0
+    if name == "ppo_full_lunarlander":
+        from gymrl_tpu.algos.ppo_full import PPOFullConfig, PPOFullTrainer
+        return PPOFullTrainer(PPOFullConfig()), 200.0
+    if name == "ppo_lstm_lunarlander":
+        from gymrl_tpu.algos.ppo_lstm import PPOLSTMConfig, PPOLSTMTrainer
+        return PPOLSTMTrainer(PPOLSTMConfig()), 200.0
+    if name == "ppg_rnn_lunarlander":
+        from gymrl_tpu.algos.ppg import PPGConfig, PPGTrainer
+        return PPGTrainer(PPGConfig()), 200.0
+    if name == "ppo_rnn_lunarlander":
+        from gymrl_tpu.algos.ppo_rnn import PPORNNTrainer, ppo_rnn_lunarlander_config
+        return PPORNNTrainer(ppo_rnn_lunarlander_config()), 200.0
     if name == "ddqn_per_cartpole":
         from gymrl_tpu.algos.dqn_variants import DQNFamilyTrainer, ddqn_per_config
         cfg = ddqn_per_config(num_envs=128, steps_per_iter=64, updates_per_step=2,
                               epsilon_decay=20_000.0)
+        return DQNFamilyTrainer(cfg), 495.0
+    if name == "ddqn_per_duel_cartpole":
+        from gymrl_tpu.algos.dqn_variants import DQNFamilyTrainer, ddqn_per_duel_config
+        cfg = ddqn_per_duel_config(num_envs=128, steps_per_iter=64, updates_per_step=2,
+                                   epsilon_decay=20_000.0)
+        return DQNFamilyTrainer(cfg), 495.0
+    if name == "noisy_dqn_cartpole":
+        from gymrl_tpu.algos.dqn_variants import DQNFamilyTrainer, noisy_dqn_config
+        cfg = noisy_dqn_config(num_envs=128, steps_per_iter=64, updates_per_step=2)
         return DQNFamilyTrainer(cfg), 495.0
     if name == "rainbow_dqn_cartpole":
         from gymrl_tpu.algos.dqn_variants import DQNFamilyTrainer, rainbow_config
@@ -47,22 +74,54 @@ def build(name):
     if name == "sac_pendulum":
         from gymrl_tpu.algos.continuous import SACTrainer, sac_config
         cfg = sac_config(num_envs=64, steps_per_iter=64, updates_per_step=8)
-        return SACTrainer(cfg), -200.0  # pendulum has no official threshold
+        return SACTrainer(cfg), PENDULUM_BAR
+    if name == "td3_pendulum":
+        from gymrl_tpu.algos.continuous import TD3Trainer, td3_config
+        cfg = td3_config(num_envs=64, steps_per_iter=64, updates_per_step=8)
+        return TD3Trainer(cfg), PENDULUM_BAR
+    if name == "ddpg_pendulum":
+        from gymrl_tpu.algos.continuous import DDPGTrainer, ddpg_config
+        cfg = ddpg_config(num_envs=64, steps_per_iter=64, updates_per_step=8)
+        return DDPGTrainer(cfg), PENDULUM_BAR
+    if name == "sac_cartpole":
+        from gymrl_tpu.algos.continuous import DiscreteSACTrainer, sac_discrete_config
+        cfg = sac_discrete_config(num_envs=64, steps_per_iter=64, updates_per_step=8,
+                                  memory_capacity=65536)
+        return DiscreteSACTrainer(cfg), 495.0
     raise KeyError(name)
 
 
 def main(argv):
-    for name in argv or ["dqn_cartpole", "ppo_cartpole", "ppo_lunarlander"]:
+    out_path = None
+    seed = 0
+    names = []
+    it = iter(argv)
+    for a in it:
+        if a == "--out":
+            out_path = next(it)
+        elif a == "--seed":
+            seed = int(next(it))
+        else:
+            names.append(a)
+
+    for name in names or ["dqn_cartpole", "ppo_cartpole", "ppo_lunarlander"]:
         trainer, threshold = build(name)
         loop = TrainLoop(trainer, f"curve_{name}", log_metrics=False, log_every=50)
-        ts, stats = loop.train(trainer.cfg.max_train_steps, solve_threshold=threshold)
-        print(json.dumps({
+        ts, stats = loop.train(trainer.cfg.max_train_steps,
+                               solve_threshold=threshold, seed=seed)
+        line = json.dumps({
             "workload": name,
             "solved": stats["solved"],
             "env_steps": stats["env_steps"],
             "wall_s": round(stats["wall_s"], 1),
             "avg100": round(stats["avg100"], 1),
-        }), flush=True)
+            "threshold": threshold,
+            "seed": seed,
+        })
+        print(line, flush=True)
+        if out_path:
+            with open(out_path, "a") as f:
+                f.write(line + "\n")
 
 
 if __name__ == "__main__":

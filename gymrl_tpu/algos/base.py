@@ -97,8 +97,17 @@ class Trainer:
         """
         env = self.venv.env
         params = self.venv.params
-        fn = _eval_cache_get(self, env, params, n_episodes)
-        return fn(ts, key)
+        # per-instance jit cache (keyed on episode count); an instance
+        # attribute rather than a global id()-keyed dict so the compiled fn
+        # dies with the trainer instead of leaking (or aliasing after id reuse)
+        cache = self.__dict__.setdefault("_eval_fns", {})
+        if n_episodes not in cache:
+            from functools import partial
+
+            cache[n_episodes] = jax.jit(
+                partial(_eval_rollout, self, env, params, n_episodes)
+            )
+        return cache[n_episodes](ts, key)
 
 
 def _eval_rollout(trainer, env, params, n_episodes, ts, key):
@@ -128,17 +137,3 @@ def _eval_rollout(trainer, env, params, n_episodes, ts, key):
     keys = jax.random.split(k_roll, env.max_steps)
     (_, _, _, returns, lengths), _ = jax.lax.scan(body, init, keys)
     return returns, lengths
-
-
-_EVAL_CACHE: dict = {}
-
-
-def _eval_cache_get(trainer, env, params, n_episodes):
-    cache_key = (id(trainer), n_episodes)
-    if cache_key not in _EVAL_CACHE:
-        from functools import partial
-
-        _EVAL_CACHE[cache_key] = jax.jit(
-            partial(_eval_rollout, trainer, env, params, n_episodes)
-        )
-    return _EVAL_CACHE[cache_key]

@@ -74,9 +74,10 @@ class PPOConfig:
     normalize_obs: bool = False  # plain PPO matches ref (no state_norm)
     max_train_steps: int = 1_000_000
     solve_threshold: float = 200.0
-    # Fused Pallas actor-critic forward on the rollout path (TPU only;
-    # inference-only so autodiff in the update is untouched). Ignored when
-    # a mesh with a model axis shards the trunk (kernel wants full weights).
+    # Fused Pallas actor-critic forward on the rollout path (inference-only
+    # so autodiff in the update is untouched). Takes effect only single-chip
+    # on a real TPU backend; ignored under any mesh (no GSPMD rule for
+    # pallas_call) and on CPU (interpret emulation would be slower).
     use_pallas: bool = False
 
     @property
@@ -238,9 +239,17 @@ class PPOTrainer(Trainer):
 
     def _rollout_forward(self, params, obs):
         """Policy forward on the (no-grad) rollout path. Dispatches to the
-        fused Pallas kernel when enabled and the weights are unsharded."""
-        tp = self.mesh is not None and self.mesh.shape.get("model", 1) > 1
-        if self.cfg.use_pallas and not tp:
+        fused Pallas kernel only when (a) enabled, (b) running single-chip
+        (pallas_call has no GSPMD partitioning rule, so under any mesh —
+        data OR model axis — XLA would gather the sharded batch onto every
+        chip), and (c) the backend really is TPU (interpret-mode emulation
+        on CPU is far slower than net.apply; tests exercise the kernel
+        directly with interpret=True)."""
+        if (
+            self.cfg.use_pallas
+            and self.mesh is None
+            and jax.default_backend() == "tpu"
+        ):
             from gymrl_tpu.ops import fused_policy_forward
 
             return fused_policy_forward(params, obs)

@@ -85,6 +85,25 @@ class PPOFullConfig:
         return self.batch_total // mb
 
 
+def cov_drop_mask(key, covs, ratio, cov_min, cov_max):
+    """clip-cov keep mask: drop EXACTLY max(int(n_in_band·ratio), 1) samples
+    (capped at n_in_band) chosen uniformly among those whose covariance lies
+    in (cov_min, cov_max) — the reference picks them via randperm over the
+    in-band indices (ppo_full_lunarlander.py:608-616). Fixed-shape JAX
+    version: random scores (∞ off-band) → argsort ranks the in-band samples
+    in uniform random order → zero the first num_drop ranks."""
+    n = covs.shape[0]
+    in_band = (covs > cov_min) & (covs < cov_max)
+    n_in = jnp.sum(in_band.astype(jnp.int32))
+    num_drop = jnp.minimum(
+        jnp.maximum((n_in.astype(jnp.float32) * ratio).astype(jnp.int32), 1), n_in
+    )
+    scores = jnp.where(in_band, jax.random.uniform(key, covs.shape), jnp.inf)
+    order = jnp.argsort(scores)
+    rank = jnp.zeros_like(order).at[order].set(jnp.arange(n))
+    return jnp.where(rank < num_drop, 0.0, 1.0)
+
+
 class SiluRMSMLP(nn.Module):
     """ppo_full's MLP: Linear → SiLU → RMSNorm between layers, custom head
     gain on the last layer (ref :287-318)."""
@@ -289,8 +308,7 @@ class PPOFullTrainer(Trainer):
                 params, opt_state = carry
                 idx, k_mb = xs
                 mb = {k: v[idx] for k, v in flat.items()}
-                # clip-cov: drop a random clip_cov_ratio fraction of samples
-                # whose covariance lies in (cov_min, cov_max) (ref :608-616)
+                # clip-cov sample dropping (ref :608-616); see cov_drop_mask
                 if cfg.clip_cov_ratio > 0:
                     logits, _ = self.net.apply(params, mb["obs"])
                     logp_all = jax.nn.log_softmax(logits)
@@ -298,9 +316,10 @@ class PPOFullTrainer(Trainer):
                         logp_all, mb["action"][:, None], axis=-1
                     ).squeeze(-1)
                     covs = (lp - jnp.mean(lp)) * (mb["adv"] - jnp.mean(mb["adv"]))
-                    in_band = (covs > cfg.clip_cov_min) & (covs < cfg.clip_cov_max)
-                    drop = jax.random.uniform(k_mb, lp.shape) < cfg.clip_cov_ratio
-                    mb["cov_keep"] = jnp.where(in_band & drop, 0.0, 1.0)
+                    mb["cov_keep"] = cov_drop_mask(
+                        k_mb, covs, cfg.clip_cov_ratio,
+                        cfg.clip_cov_min, cfg.clip_cov_max,
+                    )
                 else:
                     mb["cov_keep"] = jnp.ones((mb_size,), jnp.float32)
                 (loss, metrics), grads = jax.value_and_grad(self._loss, has_aux=True)(

@@ -131,7 +131,7 @@ def _mountaincar_baseline():
     import jax
 
     agent = MountainCarBaseline()
-    ts = agent.init(jax.PRNGKey(0) if hasattr(jax, "PRNGKey") else jax.random.PRNGKey(0))
+    ts = agent.init(jax.random.PRNGKey(0))
     returns, lengths = agent.eval_episodes(ts, jax.random.PRNGKey(1), 10)
     import numpy as np
 

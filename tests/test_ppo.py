@@ -70,9 +70,11 @@ def test_ppo_sharded_mesh_runs():
     ts, out = trainer.train_iter(ts)
     assert np.isfinite(float(out.metrics["policy_loss"]))
     assert int(ts.env_steps) == 16 * 16
-    # env batch stays sharded over 'data'
+    # env batch stays sharded over 'data': the leading axis must actually be
+    # partitioned (not replicated) across the 8 data-parallel devices
     sh = ts.vec_state.obs.sharding
-    assert "data" in str(sh.spec) or not sh.is_fully_replicated is False
+    assert not sh.is_fully_replicated
+    assert "data" in str(sh.spec)
     # a second iter reuses the compiled program
     ts, _ = trainer.train_iter(ts)
     assert int(ts.env_steps) == 2 * 16 * 16

@@ -4,7 +4,12 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from gymrl_tpu.algos.ppo_full import PPOFullConfig, PPOFullTrainer, SiluRMSMLP
+from gymrl_tpu.algos.ppo_full import (
+    PPOFullConfig,
+    PPOFullTrainer,
+    SiluRMSMLP,
+    cov_drop_mask,
+)
 from gymrl_tpu.nn.mhc import MHCBackbone, MHCFuse, sinkhorn_knopp
 
 
@@ -89,6 +94,23 @@ def test_pscn_fallback_backbone():
     ts = trainer.init(jax.random.PRNGKey(0))
     ts, out = trainer.train_iter(ts)
     assert np.isfinite(float(out.metrics["policy_loss"]))
+
+
+def test_cov_drop_mask_exact_count():
+    """Reference drops exactly max(int(n_in_band·ratio), 1) samples via
+    randperm over the in-band indices (ppo_full_lunarlander.py:608-616)."""
+    covs = jnp.array([0.5, 2.0, 3.0, 4.0, 10.0, -1.0, 2.5, 3.5])  # 5 in (1, 5)
+    for seed in range(5):
+        keep = np.asarray(cov_drop_mask(jax.random.PRNGKey(seed), covs, 0.5, 1.0, 5.0))
+        dropped = np.where(keep == 0.0)[0]
+        assert len(dropped) == 2  # int(5·0.5) = 2
+        assert set(dropped) <= {1, 2, 3, 6, 7}  # only in-band dropped
+    # ratio so small int() floors to 0 → still drops 1 (the max(·,1) rule)
+    keep = np.asarray(cov_drop_mask(jax.random.PRNGKey(0), covs, 0.01, 1.0, 5.0))
+    assert (keep == 0.0).sum() == 1
+    # nothing in band → nothing dropped (randperm(0)[:1] is empty in torch)
+    keep = np.asarray(cov_drop_mask(jax.random.PRNGKey(0), covs, 0.5, 100.0, 200.0))
+    assert (keep == 0.0).sum() == 0
 
 
 def test_clip_cov_enabled_runs():
