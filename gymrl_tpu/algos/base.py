@@ -75,13 +75,35 @@ class Trainer:
         apply the trainer's own observation normalization (frozen stats).
     """
 
-    def __init__(self, cfg):
+    def __init__(self, cfg, mesh=None):
         self.cfg = cfg
+        self.mesh = mesh
 
     def init(self, key) -> Any:
         raise NotImplementedError
 
     def train_iter(self, ts) -> tuple[Any, IterOut]:
+        """Default path for off-policy trainers: jit `self._train_iter`,
+        binding the DP state shardings when a mesh is set (env batch on
+        'data', replay/params replicated — see
+        distributed.mesh.offpolicy_state_shardings). Trainers with bespoke
+        layouts (PPO's TP trunk) override this wholesale."""
+        fn = self.__dict__.get("_jit_train_iter_fn")
+        if fn is None:
+            if self.mesh is not None:
+                from gymrl_tpu.distributed.mesh import offpolicy_state_shardings
+
+                example = self.init(jax.random.PRNGKey(0), _place=False)
+                fn = jax.jit(
+                    self._train_iter,
+                    in_shardings=(offpolicy_state_shardings(self.mesh, example),),
+                )
+            else:
+                fn = jax.jit(self._train_iter)
+            self._jit_train_iter_fn = fn
+        return fn(ts)
+
+    def _train_iter(self, ts) -> tuple[Any, IterOut]:
         raise NotImplementedError
 
     def policy(self, ts, obs, key, deterministic: bool = True):

@@ -29,7 +29,6 @@ exactly as the reference keeps separate Adam instances.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from functools import partial
 from typing import Any, NamedTuple
 
 import numpy as np
@@ -191,7 +190,11 @@ class OffPolicyTrainState(NamedTuple):
 
 
 class OffPolicyContinuousTrainer(Trainer):
-    """Shared fused loop; subclasses define nets, act, and update."""
+    """Shared fused loop; subclasses define nets, act, and update.
+
+    With ``mesh``: DP over the env batch and over the sampled learner
+    minibatch, replay replicated (same design as DQNFamilyTrainer — see
+    distributed.mesh.offpolicy_state_shardings)."""
 
     def _make_nets(self, key, obs_dim):
         raise NotImplementedError
@@ -202,7 +205,7 @@ class OffPolicyContinuousTrainer(Trainer):
     def _update(self, nets, targets, opts, batch, learn_step, key):
         raise NotImplementedError
 
-    def init(self, key) -> OffPolicyTrainState:
+    def init(self, key, _place: bool = True) -> OffPolicyTrainState:
         cfg = self.cfg
         k_nets, k_env, k_iter = jax.random.split(key, 3)
         obs_dim = self.venv.env.obs_dim
@@ -218,7 +221,7 @@ class OffPolicyContinuousTrainer(Trainer):
             next_obs=jnp.zeros((obs_dim,), jnp.float32),
             done=jnp.zeros((), jnp.float32),
         )
-        return OffPolicyTrainState(
+        ts = OffPolicyTrainState(
             nets=nets, targets=targets, opts=opts,
             replay=replay_init(example, cfg.memory_capacity),
             vec_state=self.venv.reset(k_env),
@@ -226,12 +229,17 @@ class OffPolicyContinuousTrainer(Trainer):
             env_steps=jnp.zeros((), jnp.int32),
             learn_steps=jnp.zeros((), jnp.int32),
         )
+        if self.mesh is not None and _place:
+            from gymrl_tpu.distributed.mesh import offpolicy_state_shardings
+
+            sh = offpolicy_state_shardings(self.mesh, ts)
+            ts = jax.tree_util.tree_map(jax.device_put, ts, sh)
+        return ts
 
     def policy(self, ts, obs, key, deterministic: bool = True):
         return self._act(ts.nets, obs, key, deterministic)
 
-    @partial(jax.jit, static_argnums=0)
-    def train_iter(self, ts: OffPolicyTrainState) -> tuple[OffPolicyTrainState, IterOut]:
+    def _train_iter(self, ts: OffPolicyTrainState) -> tuple[OffPolicyTrainState, IterOut]:
         cfg = self.cfg
 
         def env_step(ts: OffPolicyTrainState, _):
@@ -250,6 +258,11 @@ class OffPolicyContinuousTrainer(Trainer):
                 nets, targets, opts, learn_step = carry
                 k_s, k_u = jax.random.split(xs)
                 batch = replay_sample(replay, k_s, cfg.batch_size)
+                if self.mesh is not None:
+                    from gymrl_tpu.distributed.mesh import constrain_batch
+
+                    # data-parallel gradient pass over the sampled batch
+                    batch = constrain_batch(batch, self.mesh)
                 nets, targets, opts, metrics = self._update(
                     nets, targets, opts, batch, learn_step, k_u
                 )
@@ -292,8 +305,8 @@ class OffPolicyContinuousTrainer(Trainer):
 # -- DDPG ---------------------------------------------------------------------
 
 class DDPGTrainer(OffPolicyContinuousTrainer):
-    def __init__(self, cfg: OffPolicyConfig):
-        super().__init__(cfg)
+    def __init__(self, cfg: OffPolicyConfig, mesh=None):
+        super().__init__(cfg, mesh)
         self.venv = make_vec(cfg.env_name, cfg.num_envs)
         self._act_dim = self.venv.env.act_dim
         self.bound = self.venv.env.action_bound
@@ -361,8 +374,8 @@ class DDPGTrainer(OffPolicyContinuousTrainer):
 # -- TD3 ----------------------------------------------------------------------
 
 class TD3Trainer(OffPolicyContinuousTrainer):
-    def __init__(self, cfg: OffPolicyConfig):
-        super().__init__(cfg)
+    def __init__(self, cfg: OffPolicyConfig, mesh=None):
+        super().__init__(cfg, mesh)
         self.venv = make_vec(cfg.env_name, cfg.num_envs)
         self._act_dim = self.venv.env.act_dim
         self.bound = self.venv.env.action_bound
@@ -434,8 +447,8 @@ class TD3Trainer(OffPolicyContinuousTrainer):
 # -- SAC (continuous) ---------------------------------------------------------
 
 class SACTrainer(OffPolicyContinuousTrainer):
-    def __init__(self, cfg: OffPolicyConfig):
-        super().__init__(cfg)
+    def __init__(self, cfg: OffPolicyConfig, mesh=None):
+        super().__init__(cfg, mesh)
         self.venv = make_vec(cfg.env_name, cfg.num_envs)
         self._act_dim = self.venv.env.act_dim
         self.bound = self.venv.env.action_bound
@@ -529,8 +542,8 @@ class SACTrainer(OffPolicyContinuousTrainer):
 class DiscreteSACTrainer(OffPolicyContinuousTrainer):
     """sac_cartpole.py: expectation-form targets, two separate critics."""
 
-    def __init__(self, cfg: OffPolicyConfig):
-        super().__init__(cfg)
+    def __init__(self, cfg: OffPolicyConfig, mesh=None):
+        super().__init__(cfg, mesh)
         self.venv = make_vec(cfg.env_name, cfg.num_envs)
         self._act_dim = None  # discrete
         self.n_actions = self.venv.env.n_actions

@@ -21,7 +21,6 @@ batch 64 per env step ⇒ updates_per_step defaults to num_envs).
 from __future__ import annotations
 
 from dataclasses import dataclass, field
-from functools import partial
 from typing import Any, NamedTuple
 
 import jax
@@ -95,14 +94,17 @@ class DQNTrainState(NamedTuple):
 
 
 class DQNTrainer(Trainer):
-    def __init__(self, cfg: DQNConfig):
-        super().__init__(cfg)
+    """With ``mesh``: env batch + sampled learner batch DP over 'data',
+    replay replicated (distributed.mesh.offpolicy_state_shardings)."""
+
+    def __init__(self, cfg: DQNConfig, mesh=None):
+        super().__init__(cfg, mesh)
         self.venv = make_vec(cfg.env_name, cfg.num_envs)
         self.net = QNetwork(self.venv.env.n_actions, cfg.hidden_dim)
         self.tx = optax.adam(cfg.lr)
 
     # -- API ----------------------------------------------------------------
-    def init(self, key) -> DQNTrainState:
+    def init(self, key, _place: bool = True) -> DQNTrainState:
         k_params, k_env, k_iter = jax.random.split(key, 3)
         obs_dim = self.venv.env.obs_dim
         params = self.net.init(k_params, jnp.zeros((1, obs_dim)))
@@ -113,7 +115,7 @@ class DQNTrainer(Trainer):
             next_obs=jnp.zeros((obs_dim,), jnp.float32),
             done=jnp.zeros((), jnp.float32),
         )
-        return DQNTrainState(
+        ts = DQNTrainState(
             params=params,
             target_params=jax.tree_util.tree_map(jnp.copy, params),
             opt_state=self.tx.init(params),
@@ -124,6 +126,12 @@ class DQNTrainer(Trainer):
             episodes=jnp.zeros((), jnp.int32),
             target_syncs=jnp.zeros((), jnp.int32),
         )
+        if self.mesh is not None and _place:
+            from gymrl_tpu.distributed.mesh import offpolicy_state_shardings
+
+            sh = offpolicy_state_shardings(self.mesh, ts)
+            ts = jax.tree_util.tree_map(jax.device_put, ts, sh)
+        return ts
 
     def policy(self, ts, obs, key, deterministic: bool = True):
         q = self.net.apply(ts.params, obs)
@@ -140,13 +148,16 @@ class DQNTrainer(Trainer):
 
     def _update(self, params, target_params, opt_state, replay, key):
         batch = replay_sample(replay, key, self.cfg.batch_size)
+        if self.mesh is not None:
+            from gymrl_tpu.distributed.mesh import constrain_batch
+
+            batch = constrain_batch(batch, self.mesh)
         loss, grads = jax.value_and_grad(self._loss)(params, target_params, batch)
         grads = clip_grads_by_value(grads, 1.0)
         updates, opt_state = self.tx.update(grads, opt_state, params)
         return optax.apply_updates(params, updates), opt_state, loss
 
-    @partial(jax.jit, static_argnums=0)
-    def train_iter(self, ts: DQNTrainState) -> tuple[DQNTrainState, IterOut]:
+    def _train_iter(self, ts: DQNTrainState) -> tuple[DQNTrainState, IterOut]:
         cfg = self.cfg
 
         def env_step(ts: DQNTrainState, _):

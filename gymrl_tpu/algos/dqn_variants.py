@@ -33,7 +33,6 @@ the completed transition of t−n+1 each step (gated until warm).
 from __future__ import annotations
 
 from dataclasses import dataclass
-from functools import partial
 from typing import Any, NamedTuple
 
 import jax
@@ -44,7 +43,17 @@ import flax.linen as nn
 from gymrl_tpu.algos.base import IterOut, Trainer, clip_grads_by_value
 from gymrl_tpu.core.schedules import exp_epsilon_decay, per_beta_anneal, ref_lr_decay
 from gymrl_tpu.envs.registry import make_vec
-from gymrl_tpu.nn.layers import Dense, NoisyDense
+from gymrl_tpu.core.normalization import (
+    RewardScaler,
+    RunningMeanStd,
+    normalize_obs,
+    reward_scaler_init,
+    reward_scaler_reset,
+    reward_scaler_step,
+    rms_init,
+    rms_update_batch,
+)
+from gymrl_tpu.nn.layers import MLP, PSCN, Dense, NoisyDense
 from gymrl_tpu.replay.per import (
     PERState,
     per_init,
@@ -71,8 +80,16 @@ class DQNFamilyConfig:
     noisy_trunk: bool = False
     noisy_heads: bool = False
     trunk_layers: int = 2
+    trunk: str = "mlp"  # "mlp" | "pscn" (flappybird's PSCN-512 trunk)
+    pscn_dim: int = 512
+    trunk_dims: tuple = ()  # post-PSCN MLP widths (flappy: (512, 256, 256)→256 out)
+    head_hidden: int = 0  # dueling stream hidden width (flappy: 64)
     use_per: bool = True
     n_steps: int = 1
+    # inline normalization (noisy_dqn_flappybird.py:484-487): running
+    # state norm on obs entering the net/replay + per-episode reward scaling
+    normalize_obs: bool = False
+    scale_rewards: bool = False
     # exploration (ignored when noisy)
     epsilon_start: float = 0.95
     epsilon_end: float = 0.01
@@ -93,7 +110,7 @@ class DQNFamilyConfig:
     lr_decay: bool = False  # rainbow's 0.9·lr·(1−t/T)+0.1·lr
     updates_per_step: int | None = None  # None ⇒ num_envs (ref cadence)
     max_train_steps: int = 2_000_000
-    solve_threshold: float = 495.0
+    solve_threshold: float | None = 495.0
 
     @property
     def n_updates(self) -> int:
@@ -105,7 +122,18 @@ class DQNFamilyConfig:
 
 
 class QNet(nn.Module):
-    """Configurable trunk + (dueling) head with optional noisy layers."""
+    """Configurable trunk + (dueling) head with optional noisy layers.
+
+    Two trunk shapes:
+      * "mlp"  — trunk_layers × Dense/NoisyDense(hidden_dim) + ReLU (the
+        CartPole scripts);
+      * "pscn" — PSCN(pscn_dim) followed by MLP(trunk_dims, last_act) —
+        the noisy_dqn_flappybird network: PSCN-512 + MLP[512,256,256]
+        all-Noisy (reference algorithms/noisy_dqn_flappybird.py:219-247).
+    ``head_hidden`` > 0 turns each dueling stream into MLP[head_hidden, out]
+    (flappybird's fc_v/fc_a = MLP[256, 64, ·], :234-236); 0 keeps the
+    CartPole scripts' single linear per stream.
+    """
 
     n_actions: int
     hidden_dim: int
@@ -113,22 +141,43 @@ class QNet(nn.Module):
     dueling: bool
     noisy_trunk: bool
     noisy_heads: bool
+    trunk: str = "mlp"  # "mlp" | "pscn"
+    pscn_dim: int = 512
+    trunk_dims: tuple = ()
+    head_hidden: int = 0
 
     def _layer(self, feat, noisy, name):
         return NoisyDense(feat, name=name) if noisy else Dense(feat, name=name)
 
+    def _stream(self, x, out_dim, name, deterministic):
+        if self.head_hidden > 0:
+            linear = "noisy" if self.noisy_heads else "dense"
+            return MLP([self.head_hidden, out_dim], linear=linear, name=name)(
+                x, deterministic=deterministic
+            )
+        return self._layer(out_dim, self.noisy_heads, name)(
+            x, deterministic=deterministic
+        )
+
     @nn.compact
     def __call__(self, x, *, deterministic: bool = False):
-        for i in range(self.trunk_layers):
-            x = self._layer(self.hidden_dim, self.noisy_trunk, f"fc{i + 1}")(
+        if self.trunk == "pscn":
+            linear = "noisy" if self.noisy_trunk else "dense"
+            x = PSCN(self.pscn_dim, linear=linear, name="pscn")(
                 x, deterministic=deterministic
             )
-            x = nn.relu(x)
+            if self.trunk_dims:
+                x = MLP(list(self.trunk_dims), last_act=True, linear=linear,
+                        name="trunk_mlp")(x, deterministic=deterministic)
+        else:
+            for i in range(self.trunk_layers):
+                x = self._layer(self.hidden_dim, self.noisy_trunk, f"fc{i + 1}")(
+                    x, deterministic=deterministic
+                )
+                x = nn.relu(x)
         if self.dueling:
-            v = self._layer(1, self.noisy_heads, "value")(x, deterministic=deterministic)
-            a = self._layer(self.n_actions, self.noisy_heads, "advantage")(
-                x, deterministic=deterministic
-            )
+            v = self._stream(x, 1, "value", deterministic)
+            a = self._stream(x, self.n_actions, "advantage", deterministic)
             return v + (a - jnp.mean(a, axis=-1, keepdims=True))
         return self._layer(self.n_actions, self.noisy_heads, "head")(
             x, deterministic=deterministic
@@ -162,6 +211,8 @@ class FamilyTrainState(NamedTuple):
     replay: Any  # PERState or uniform ReplayState
     vec_state: Any
     window: NStepWindow | None
+    obs_rms: RunningMeanStd  # checkpointed like the reference's pickled state_norm
+    reward_scaler: RewardScaler
     key: jax.Array
     env_steps: jax.Array
     learn_steps: jax.Array
@@ -171,8 +222,13 @@ class FamilyTrainState(NamedTuple):
 
 
 class DQNFamilyTrainer(Trainer):
-    def __init__(self, cfg: DQNFamilyConfig):
-        super().__init__(cfg)
+    """With ``mesh``: DP over the env batch + the sampled learner batch;
+    replay/sum-tree replicated (see distributed.mesh.offpolicy_state_shardings
+    for the design rationale). 'model' axis unused — these nets are ≤256 wide,
+    TP would be all-reduce overhead for no MXU win."""
+
+    def __init__(self, cfg: DQNFamilyConfig, mesh=None):
+        super().__init__(cfg, mesh)
         self.venv = make_vec(cfg.env_name, cfg.num_envs)
         self.net = QNet(
             n_actions=self.venv.env.n_actions,
@@ -181,6 +237,10 @@ class DQNFamilyTrainer(Trainer):
             dueling=cfg.dueling,
             noisy_trunk=cfg.noisy_trunk,
             noisy_heads=cfg.noisy_heads,
+            trunk=cfg.trunk,
+            pscn_dim=cfg.pscn_dim,
+            trunk_dims=tuple(cfg.trunk_dims),
+            head_hidden=cfg.head_hidden,
         )
         tx = []
         if cfg.grad_clip_norm:
@@ -194,7 +254,7 @@ class DQNFamilyTrainer(Trainer):
             return self.net.apply(params, obs, rngs={"noise": noise_key})
         return self.net.apply(params, obs, deterministic=True)
 
-    def init(self, key) -> FamilyTrainState:
+    def init(self, key, _place: bool = True) -> FamilyTrainState:
         cfg = self.cfg
         k_params, k_env, k_iter = jax.random.split(key, 3)
         obs_dim = self.venv.env.obs_dim
@@ -224,13 +284,15 @@ class DQNFamilyTrainer(Trainer):
                 terminated=jnp.zeros((cfg.n_steps, b), jnp.float32),
                 done=jnp.zeros((cfg.n_steps, b), jnp.float32),
             )
-        return FamilyTrainState(
+        ts = FamilyTrainState(
             params=params,
             target_params=jax.tree_util.tree_map(jnp.copy, params),
             opt_state=self.tx.init(params),
             replay=replay,
             vec_state=self.venv.reset(k_env),
             window=window,
+            obs_rms=rms_init((obs_dim,)),
+            reward_scaler=reward_scaler_init(cfg.num_envs, cfg.gamma),
             key=k_iter,
             env_steps=jnp.zeros((), jnp.int32),
             learn_steps=jnp.zeros((), jnp.int32),
@@ -238,9 +300,18 @@ class DQNFamilyTrainer(Trainer):
             target_syncs=jnp.zeros((), jnp.int32),
             beta=jnp.asarray(cfg.per_beta0, jnp.float32),
         )
+        if self.mesh is not None and _place:
+            from gymrl_tpu.distributed.mesh import offpolicy_state_shardings
+
+            sh = offpolicy_state_shardings(self.mesh, ts)
+            ts = jax.tree_util.tree_map(jax.device_put, ts, sh)
+        return ts
 
     def policy(self, ts, obs, key, deterministic: bool = True):
-        # eval: μ-only for noisy nets (ref noisy_dqn :192-205), argmax always
+        # eval: μ-only for noisy nets (ref noisy_dqn :192-205), argmax always;
+        # frozen normalization stats (ref utils/runner.py:173)
+        if self.cfg.normalize_obs:
+            obs = normalize_obs(ts.obs_rms, obs)
         q = self._apply(ts.params, obs, None if deterministic else key)
         return jnp.argmax(q, axis=-1).astype(jnp.int32)
 
@@ -295,6 +366,13 @@ class DQNFamilyTrainer(Trainer):
         else:
             batch = replay_sample(replay, k_sample, cfg.batch_size)
             weights = jnp.ones((cfg.batch_size,), jnp.float32)
+        if self.mesh is not None:
+            from gymrl_tpu.distributed.mesh import constrain_batch
+
+            # re-shard the sampled minibatch onto 'data' so the gradient
+            # pass is data-parallel (XLA psums grads into replicated params)
+            batch = constrain_batch(batch, self.mesh)
+            weights = constrain_batch(weights, self.mesh)
 
         (loss, delta), grads = jax.value_and_grad(self._loss, has_aux=True)(
             params, target_params, batch, weights, (k1, k2, k3)
@@ -315,16 +393,19 @@ class DQNFamilyTrainer(Trainer):
                 beta = jnp.minimum(1.0, beta + cfg.per_beta_increment)
         return params, opt_state, replay, beta, loss
 
-    # -- fused train iteration ------------------------------------------------
-    @partial(jax.jit, static_argnums=0)
-    def train_iter(self, ts: FamilyTrainState) -> tuple[FamilyTrainState, IterOut]:
+    # -- fused train iteration (jitted via base.Trainer.train_iter) -----------
+    def _train_iter(self, ts: FamilyTrainState) -> tuple[FamilyTrainState, IterOut]:
         cfg = self.cfg
 
         def env_step(ts: FamilyTrainState, _):
             key, k_act, k_eps, k_rand, k_step, k_upd = jax.random.split(ts.key, 6)
 
-            # --- act
-            q = self._apply(ts.params, ts.vec_state.obs, k_act if cfg.noisy else None)
+            # --- act (on normalized obs when the workload uses state_norm,
+            # noisy_dqn_flappybird.py:484-487)
+            obs_rms = ts.obs_rms
+            nobs = normalize_obs(obs_rms, ts.vec_state.obs) if cfg.normalize_obs \
+                else ts.vec_state.obs
+            q = self._apply(ts.params, nobs, k_act if cfg.noisy else None)
             action = jnp.argmax(q, axis=-1).astype(jnp.int32)
             if not cfg.noisy:  # ε-greedy exploration
                 eps = exp_epsilon_decay(
@@ -335,8 +416,22 @@ class DQNFamilyTrainer(Trainer):
                 action = jnp.where(explore, randoms, action)
 
             vec_state, tr = self.venv.step(ts.vec_state, action, k_step)
+
+            # --- inline normalization/scaling before the replay sees the
+            # transition (reference stores normalized states + scaled rewards,
+            # noisy_dqn_flappybird.py:484-487; scaler resets per episode)
+            scaler = ts.reward_scaler
+            reward = tr.reward
+            if cfg.scale_rewards:
+                scaler, reward = reward_scaler_step(scaler, reward)
+                scaler = reward_scaler_reset(scaler, tr.done)
+            if cfg.normalize_obs:
+                obs_rms = rms_update_batch(obs_rms, tr.next_obs)
+                next_obs = normalize_obs(obs_rms, tr.next_obs)
+            else:
+                next_obs = tr.next_obs
             step_tr = Transition(
-                obs=tr.obs, action=action, reward=tr.reward, next_obs=tr.next_obs,
+                obs=nobs, action=action, reward=reward, next_obs=next_obs,
                 terminated=tr.terminated.astype(jnp.float32),
                 done=tr.done.astype(jnp.float32),
             )
@@ -406,7 +501,8 @@ class DQNFamilyTrainer(Trainer):
 
             new_ts = FamilyTrainState(
                 params=params, target_params=target_params, opt_state=opt_state,
-                replay=replay, vec_state=vec_state, window=window, key=key,
+                replay=replay, vec_state=vec_state, window=window,
+                obs_rms=obs_rms, reward_scaler=scaler, key=key,
                 env_steps=ts.env_steps + cfg.num_envs, learn_steps=learn_steps,
                 episodes=episodes, target_syncs=target_syncs, beta=beta,
             )
@@ -466,6 +562,29 @@ def noisy_dqn_config(**kw) -> DQNFamilyConfig:
         noisy_trunk=True, noisy_heads=True, trunk_layers=2, hidden_dim=64,
         use_per=False, target_mode="hard_step", target_update_freq=500,
         grad_clip_value=1.0,
+    )
+    base.update(kw)
+    return DQNFamilyConfig(**base)
+
+
+def noisy_dqn_flappybird_config(**kw) -> DQNFamilyConfig:
+    """algorithms/noisy_dqn_flappybird.py hyperparameters + network.
+
+    PSCN-512 trunk + MLP[512, 256, 256] all-Noisy, dueling streams
+    MLP[256, 64, ·] (:219-247); Double-DQN targets (:413-421); γ=0.9,
+    Adam 1e-4 (torch-default eps), batch 256, capacity 51200, hard target
+    sync every 400 learn steps, grad-NORM clip 1.0 (:44-58, 427);
+    inline state normalization + per-episode reward scaling (:484-487).
+    """
+    base = dict(
+        env_name="FlappyBird-v0", gamma=0.9, lr=1e-4, batch_size=256,
+        memory_capacity=51200, double=True, dueling=True,
+        noisy_trunk=True, noisy_heads=True,
+        trunk="pscn", pscn_dim=512, trunk_dims=(512, 256, 256), head_hidden=64,
+        use_per=False, target_mode="hard_step", target_update_freq=400,
+        grad_clip_value=None, grad_clip_norm=1.0,
+        normalize_obs=True, scale_rewards=True,
+        solve_threshold=None,
     )
     base.update(kw)
     return DQNFamilyConfig(**base)

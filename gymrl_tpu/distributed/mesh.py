@@ -70,6 +70,57 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def offpolicy_state_shardings(mesh: Mesh, ts):
+    """Sharding pytree for an off-policy TrainState (DQN family, continuous).
+
+    DP design: the env batch (every rank≥1 leaf of ``vec_state``) shards on
+    'data'; params/targets/opt-state/replay replicate. The replay ring AND
+    the PER sum-tree stay replicated deliberately — a per-shard tree would
+    turn global prioritized sampling into locally-prioritized sampling
+    (each device over-samples its own high-priority transitions), changing
+    the reference's semantics; replicated, the tree costs O(capacity) HBM
+    (a few MB at these scales) and sampling stays exact. Data parallelism
+    in the learner comes from re-sharding the *sampled* minibatch onto
+    'data' (see ``constrain_batch``): XLA then partitions the loss and
+    psums the gradients into the replicated params automatically.
+    """
+    rep = replicated(mesh)
+    bsh = batch_sharding(mesh, 0)
+    sh = jax.tree_util.tree_map(lambda _: rep, ts)
+    sh = sh._replace(
+        vec_state=jax.tree_util.tree_map(
+            lambda x: bsh if jax.numpy.ndim(x) >= 1 else rep, ts.vec_state
+        )
+    )
+    if getattr(ts, "window", None) is not None:
+        # n-step fold window is [n, B, ...] — env batch on axis 1
+        wsh = batch_sharding(mesh, 1)
+        sh = sh._replace(
+            window=jax.tree_util.tree_map(lambda _: wsh, ts.window)
+        )
+    return sh
+
+
+def constrain_batch(tree, mesh: Mesh | None, batch_axis: int = 0):
+    """`with_sharding_constraint` every rank>batch_axis leaf onto 'data'.
+
+    Applied to sampled replay minibatches inside the jitted update so the
+    gradient computation runs data-parallel even though the buffer itself
+    is replicated. No-op without a mesh.
+    """
+    if mesh is None:
+        return tree
+    bsh = batch_sharding(mesh, batch_axis)
+    return jax.tree_util.tree_map(
+        lambda x: (
+            jax.lax.with_sharding_constraint(x, bsh)
+            if jax.numpy.ndim(x) > batch_axis
+            else x
+        ),
+        tree,
+    )
+
+
 def shard_pytree_batch(tree, mesh: Mesh, batch_ndim_from: int = 0):
     """Place every leaf with its ``batch_ndim_from``-th axis sharded on 'data'.
 

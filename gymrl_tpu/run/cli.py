@@ -111,9 +111,11 @@ def _ppg_rnn_lunarlander():
 
 
 def _noisy_dqn_flappybird():
-    from gymrl_tpu.algos.dqn_variants import DQNFamilyTrainer, noisy_dqn_config
-    cfg = noisy_dqn_config(env_name="FlappyBird-v0", hidden_dim=256)
-    return DQNFamilyTrainer(cfg), "NoisyDQN", None
+    from gymrl_tpu.algos.dqn_variants import (
+        DQNFamilyTrainer,
+        noisy_dqn_flappybird_config,
+    )
+    return DQNFamilyTrainer(noisy_dqn_flappybird_config()), "NoisyDQN", None
 
 
 def _qlearning_frozenlake():

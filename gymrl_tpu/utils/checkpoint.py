@@ -44,14 +44,29 @@ def save_checkpoint(path: str, ts: Any, step: int | None = None) -> str:
 
 
 def restore_checkpoint(path: str, example_ts: Any) -> Any:
-    """Restore into the structure of ``example_ts`` (fresh-init TrainState).
+    """Restore into the structure AND sharding layout of ``example_ts``
+    (fresh-init TrainState).
 
     Fields pruned at save time (replay) keep their fresh-init value, mirroring
-    the reference's behavior of resuming with an empty buffer.
+    the reference's behavior of resuming with an empty buffer. Every restored
+    leaf is placed with `device_put` onto its example leaf's sharding, so a
+    trainer initialized under a mesh resumes with params/opt-state/env-batch
+    partitioned exactly as training left them (a bare `jnp.asarray` here
+    would land everything replicated on device 0 and silently break DP/TP
+    resume).
     """
     stripped = _strip_replay(example_ts)
     with ocp.PyTreeCheckpointer() as ckptr:
         restored = ckptr.restore(os.path.abspath(path), item=jax.device_get(stripped))
     if hasattr(example_ts, "_replace") and hasattr(example_ts, "replay"):
         restored = restored._replace(replay=example_ts.replay)
-    return jax.tree_util.tree_map(jax.numpy.asarray, restored)
+
+    def _place(example_leaf, leaf):
+        sharding = getattr(example_leaf, "sharding", None)
+        if leaf is example_leaf:  # passed-through fresh field (replay)
+            return leaf
+        if sharding is not None:
+            return jax.device_put(jax.numpy.asarray(leaf), sharding)
+        return jax.numpy.asarray(leaf)
+
+    return jax.tree_util.tree_map(_place, example_ts, restored)

@@ -11,6 +11,7 @@ from gymrl_tpu.algos.dqn_variants import (
     ddqn_per_config,
     ddqn_per_duel_config,
     noisy_dqn_config,
+    noisy_dqn_flappybird_config,
     rainbow_config,
 )
 
@@ -30,6 +31,43 @@ def test_variant_smoke(cfg_fn):
     assert int(ts.env_steps) == 2 * 8 * 4
     returns, _ = trainer.eval_episodes(ts, jax.random.PRNGKey(1), 2)
     assert np.all(np.asarray(returns) >= 1)
+
+
+def test_flappybird_preset_network_and_normalization():
+    """noisy_dqn_flappybird parity (ref :219-250, 484-487): PSCN-512 +
+    MLP[512,256,256] all-Noisy trunk, MLP[·,64,·] dueling streams, inline
+    state-norm + reward scaling, Double-DQN, hard-step-400 target sync."""
+    cfg = noisy_dqn_flappybird_config(**SMALL, batch_size=32)
+    assert cfg.double and cfg.dueling and cfg.noisy
+    assert cfg.target_mode == "hard_step" and cfg.target_update_freq == 400
+    trainer = DQNFamilyTrainer(cfg)
+    ts = trainer.init(jax.random.PRNGKey(0))
+
+    # network structure: PSCN trunk (4 noisy MLP blocks), post-PSCN MLP of 3
+    # noisy layers, dueling streams each a 2-layer noisy MLP
+    p = ts.params["params"]
+    assert set(p["pscn"]) == {"mlp_0", "mlp_1", "mlp_2", "mlp_3"}
+    assert set(p["trunk_mlp"]) >= {"layer_0", "layer_1", "layer_2"}
+    for stream in ("value", "advantage"):
+        assert set(p[stream]) >= {"layer_0", "layer_1"}
+        assert "kernel_mu" in p[stream]["layer_0"]  # noisy streams
+    # PSCN output width 512, post-trunk 256, stream hidden 64
+    assert p["trunk_mlp"]["layer_2"]["kernel_mu"].shape[-1] == 256
+    assert p["value"]["layer_0"]["kernel_mu"].shape == (256, 64)
+
+    ts, out = trainer.train_iter(ts)
+    assert np.isfinite(float(out.metrics["loss"]))
+    # normalization stats advanced with the rollout
+    assert float(ts.obs_rms.count) == 8 * 4
+    assert float(ts.reward_scaler.rms.count) == 8 * 4
+    # replay stores NORMALIZED obs: with running stats the stored next_obs
+    # magnitudes are O(1) even though FlappyBird obs aren't
+    stored = np.asarray(ts.replay.data.obs[: 8 * 4])
+    assert np.isfinite(stored).all()
+    # eval uses frozen stats
+    before = float(ts.obs_rms.count)
+    trainer.eval_episodes(ts, jax.random.PRNGKey(1), 2)
+    assert float(ts.obs_rms.count) == before
 
 
 def test_nstep_fold_semantics():
