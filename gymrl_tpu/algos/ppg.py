@@ -25,7 +25,7 @@ import jax.numpy as jnp
 import optax
 import flax.linen as nn
 
-from gymrl_tpu.algos.base import IterOut
+from gymrl_tpu.algos.base import IterOut, masked_mean
 from gymrl_tpu.algos.ppo_rnn import (
     PPORNNConfig,
     PPORNNTrainer,
@@ -85,8 +85,9 @@ class PPGTrainer(PPORNNTrainer):
         logits, aux_values = self._aux_seq_forward(params, mb["h0"], mb["obs"])
         logp_all = jax.nn.log_softmax(logits)
         logp = jnp.take_along_axis(logp_all, mb["action"][..., None], axis=-1).squeeze(-1)
-        aux_value_loss = jnp.mean(jnp.square(aux_values - mb["v_target"]))
-        clone_loss = jnp.mean(jnp.square(logp - mb["logp"]))
+        mask = mb["mask"]
+        aux_value_loss = masked_mean(jnp.square(aux_values - mb["v_target"]), mask)
+        clone_loss = masked_mean(jnp.square(logp - mb["logp"]), mask)
         loss = aux_value_loss + self.cfg.beta_clone * clone_loss
         return loss, {"aux_value_loss": aux_value_loss, "clone_loss": clone_loss}
 
@@ -108,23 +109,7 @@ class PPGTrainer(PPORNNTrainer):
         )
         adv = standardize(adv)
 
-        L = cfg.seq_len
-        n_chunks = cfg.rollout_steps // L
-
-        def to_seq(x):
-            x = x.reshape((n_chunks, L) + x.shape[1:])
-            x = jnp.moveaxis(x, 2, 1)
-            return x.reshape((n_chunks * cfg.num_envs, L) + x.shape[3:])
-
-        data = {
-            "obs": to_seq(roll.obs),
-            "action": to_seq(roll.action),
-            "logp": to_seq(roll.logp),
-            "adv": to_seq(adv),
-            "v_target": to_seq(v_target),
-            "h0": to_seq(roll.h_pre)[:, 0],
-        }
-        n_seqs = cfg.seqs_per_rollout
+        data, n_seqs = self._training_data(roll, adv, v_target)
         mb_size = n_seqs // cfg.num_minibatches
 
         def phase1_epoch(carry, k_epoch):

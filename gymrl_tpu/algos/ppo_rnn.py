@@ -38,7 +38,7 @@ import jax.numpy as jnp
 import optax
 import flax.linen as nn
 
-from gymrl_tpu.algos.base import IterOut, Trainer
+from gymrl_tpu.algos.base import IterOut, Trainer, masked_mean
 from gymrl_tpu.core.gae import compute_gae, standardize
 from gymrl_tpu.core.normalization import (
     RewardScaler,
@@ -75,6 +75,14 @@ class PPORNNConfig:
     feature_dim: int = 256
     normalize_obs: bool = True
     scale_rewards: bool = True
+    # Whole-episode BPTT (exact reference semantics, ppo_rnn_lunarlander.py
+    # :322-327, 446-447): the rollout is packed episode-major (every episode
+    # segment in its own padded row, replay/episode.episode_buffer_pack) and
+    # each episode re-unrolls from its TRUE initial hidden (zero for fresh
+    # episodes) under a masked loss. False = truncated-BPTT(seq_len) chunks,
+    # the cheaper scheme the reference itself uses in ppo_lstm (:679-708).
+    whole_episode_bptt: bool = False
+    episode_rows_per_env: int = 8  # max episodes packed per env column
     max_train_steps: int = 2_000_000
     solve_threshold: float = 200.0
 
@@ -84,8 +92,15 @@ class PPORNNConfig:
         return (self.rollout_steps // self.seq_len) * self.num_envs
 
     @property
+    def n_train_items(self) -> int:
+        """Sequences (chunk mode) or episode rows (whole-episode mode)."""
+        if self.whole_episode_bptt:
+            return self.num_envs * self.episode_rows_per_env
+        return self.seqs_per_rollout
+
+    @property
     def num_minibatches(self) -> int:
-        n = self.seqs_per_rollout
+        n = self.n_train_items
         mb = min(self.seq_minibatch, n)
         assert n % mb == 0, f"{n} sequences must divide into minibatches of {mb}"
         return n // mb
@@ -274,6 +289,7 @@ class PPORNNTrainer(Trainer):
 
     def _loss(self, params, mb):
         cfg = self.cfg
+        mask = mb["mask"]
         logits, values = self._seq_forward(params, mb["h0"], mb["obs"])
         logp_all = jax.nn.log_softmax(logits)
         logp = jnp.take_along_axis(logp_all, mb["action"][..., None], axis=-1).squeeze(-1)
@@ -285,16 +301,70 @@ class PPORNNTrainer(Trainer):
         surr2 = jnp.clip(ratio, 1.0 - cfg.clip_eps, 1.0 + cfg.clip_eps) * adv
         min_surr = jnp.minimum(surr1, surr2)
         policy_obj = jnp.where(adv < 0.0, jnp.maximum(min_surr, cfg.dual_clip * adv), min_surr)
-        policy_loss = -jnp.mean(policy_obj)
-        value_loss = jnp.mean(jnp.square(values - mb["v_target"]))
-        entropy_mean = jnp.mean(entropy)
+        policy_loss = -masked_mean(policy_obj, mask)
+        value_loss = masked_mean(jnp.square(values - mb["v_target"]), mask)
+        entropy_mean = masked_mean(entropy, mask)
         loss = policy_loss + cfg.value_coef * value_loss - cfg.entropy_coef * entropy_mean
         return loss, {
             "policy_loss": policy_loss,
             "value_loss": value_loss,
             "entropy": entropy_mean,
-            "approx_kl": jnp.mean(mb["logp"] - logp),
+            "approx_kl": masked_mean(mb["logp"] - logp, mask),
         }
+
+    # -- minibatch construction (shared with the PPG subclass) -----------------
+    def _training_data(self, roll: "RNNRollout", adv, v_target):
+        """Build the per-item training tensors + ``mask`` and item count.
+
+        Chunk mode: fixed [L]-step slices of the flat rollout with stored
+        initial hiddens (ppo_lstm_lunarlander.py:679-708 mechanism) — mask
+        all-ones. Whole-episode mode: episode-major padded rows via
+        ``episode_buffer_pack``; each row's h0 is the TRUE hidden at its
+        episode's first step (zero except for the mid-episode continuation
+        row at each column start), and ``mask`` is the row's active steps —
+        the reference's whole-episode re-unroll (:322-327) with exact
+        per-episode gradient extents.
+        """
+        cfg = self.cfg
+        if cfg.whole_episode_bptt:
+            from gymrl_tpu.replay.episode import episode_buffer_pack
+
+            packed = episode_buffer_pack(
+                {
+                    "obs": roll.obs,
+                    "action": roll.action,
+                    "logp": roll.logp,
+                    "adv": adv,
+                    "v_target": v_target,
+                    "h_pre": roll.h_pre,
+                },
+                roll.done,
+                cfg.episode_rows_per_env,
+            )
+            data = dict(packed.data)
+            data["h0"] = data.pop("h_pre")[:, 0]
+            data["mask"] = packed.active.astype(jnp.float32)
+            return data, cfg.n_train_items
+
+        L = cfg.seq_len
+        n_chunks = cfg.rollout_steps // L
+
+        def to_seq(x):
+            # [T, B, ...] -> [n_chunks, L, B, ...] -> [n_chunks·B, L, ...]
+            x = x.reshape((n_chunks, L) + x.shape[1:])
+            x = jnp.moveaxis(x, 2, 1)  # [n_chunks, B, L, ...]
+            return x.reshape((n_chunks * cfg.num_envs, L) + x.shape[3:])
+
+        data = {
+            "obs": to_seq(roll.obs),
+            "action": to_seq(roll.action),
+            "logp": to_seq(roll.logp),
+            "adv": to_seq(adv),
+            "v_target": to_seq(v_target),
+            "h0": to_seq(roll.h_pre)[:, 0],  # hidden at each chunk start
+        }
+        data["mask"] = jnp.ones_like(data["logp"])
+        return data, cfg.n_train_items
 
     # -- fused train iteration ------------------------------------------------
     @partial(jax.jit, static_argnums=0)
@@ -317,26 +387,7 @@ class PPORNNTrainer(Trainer):
         )
         adv = standardize(adv)
 
-        # Chop [T, B] into sequences [N, L] with stored initial hiddens.
-        L = cfg.seq_len
-        n_chunks = cfg.rollout_steps // L
-
-        def to_seq(x):
-            # [T, B, ...] -> [n_chunks, L, B, ...] -> [n_chunks·B, L, ...]
-            x = x.reshape((n_chunks, L) + x.shape[1:])
-            x = jnp.moveaxis(x, 2, 1)  # [n_chunks, B, L, ...]
-            return x.reshape((n_chunks * cfg.num_envs, L) + x.shape[3:])
-
-        data = {
-            "obs": to_seq(roll.obs),
-            "action": to_seq(roll.action),
-            "logp": to_seq(roll.logp),
-            "adv": to_seq(adv),
-            "v_target": to_seq(v_target),
-            "h0": to_seq(roll.h_pre)[:, 0],  # hidden at each chunk start
-        }
-
-        n_seqs = cfg.seqs_per_rollout
+        data, n_seqs = self._training_data(roll, adv, v_target)
         mb_size = n_seqs // cfg.num_minibatches
 
         def epoch(carry, k_epoch):

@@ -68,6 +68,55 @@ def episode_buffer_store(state: EpisodeBufferState, transition: Any, done) -> Ep
                               ep_index=next_ep, full=full)
 
 
+def episode_buffer_pack(data: Any, done, rows_per_env: int) -> EpisodeBufferState:
+    """Vectorized episode-major packing of a [T, B] rollout.
+
+    The TPU-native equivalent of calling ``episode_buffer_store`` T·B times
+    (reference utils/buffer.py:70-88 semantics): every episode segment of
+    every env column lands in its own ``[max_steps=T]`` row, left-aligned,
+    with an ``active`` mask over its valid steps. One gather-free scatter
+    instead of T·B sequential dynamic writes.
+
+    Each env column contributes up to ``rows_per_env`` rows (episodes beyond
+    that are dropped — callers size R generously); the row order within a
+    column is episode order, so row ``b·R`` is column b's first (possibly
+    mid-episode continuation) segment.
+
+    done: [T, B] — episode boundary AFTER step t (terminated|truncated).
+    Returns rows for ``n_rows = B·rows_per_env`` episodes.
+    """
+    done = jnp.asarray(done)
+    T, B = done.shape
+    R = rows_per_env
+    t_range = jnp.arange(T)[:, None]  # [T, 1]
+
+    done_prev = jnp.concatenate(
+        [jnp.zeros((1, B), done.dtype), done[:-1]], axis=0
+    ).astype(bool)
+    ep_id = jnp.cumsum(done_prev.astype(jnp.int32), axis=0)  # [T, B]
+    starts = done_prev.at[0, :].set(True)
+    start_t = jax.lax.cummax(jnp.where(starts, t_range, -1), axis=0)
+    step_in_ep = t_range - start_t  # [T, B]
+
+    valid = ep_id < R
+    n_rows = B * R
+    row = jnp.where(valid, jnp.arange(B)[None, :] * R + ep_id, n_rows)  # overflow → garbage row
+
+    def scatter(x):
+        x = jnp.asarray(x)
+        out = jnp.zeros((n_rows + 1, T) + x.shape[2:], x.dtype)
+        return out.at[row, step_in_ep].set(x)[:n_rows]
+
+    active = jnp.zeros((n_rows + 1, T), bool).at[row, step_in_ep].set(valid)[:n_rows]
+    return EpisodeBufferState(
+        data=jax.tree_util.tree_map(scatter, data),
+        active=active,
+        lengths=jnp.sum(active.astype(jnp.int32), axis=1),
+        ep_index=jnp.zeros((), jnp.int32),
+        full=jnp.asarray(True),
+    )
+
+
 def episode_buffer_clear(state: EpisodeBufferState) -> EpisodeBufferState:
     return EpisodeBufferState(
         data=state.data,

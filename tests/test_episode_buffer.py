@@ -64,3 +64,42 @@ def test_noisy_conv2d():
     np.testing.assert_array_equal(
         np.asarray(layer.apply(params, x, deterministic=True)), np.asarray(det)
     )
+
+
+def test_episode_buffer_pack_vectorized():
+    """episode_buffer_pack splits [T, B] columns into left-aligned padded
+    episode rows with exact active masks (the vectorized equivalent of T·B
+    episode_buffer_store calls)."""
+    from gymrl_tpu.replay.episode import episode_buffer_pack
+
+    T, B, R = 6, 2, 3
+    x = jnp.arange(T * B, dtype=jnp.float32).reshape(T, B)  # x[t, b] = 2t + b
+    # col 0 episodes: [0,1,2], [3,4], [5...(open)]; col 1: [0,1,2,3,4,5] open
+    done = jnp.array(
+        [[0, 0], [0, 0], [1, 0], [0, 0], [1, 0], [0, 0]], jnp.float32
+    )
+    st = episode_buffer_pack({"x": x}, done, rows_per_env=R)
+    assert st.data["x"].shape == (B * R, T)
+    np.testing.assert_array_equal(np.asarray(st.lengths), [3, 2, 1, 6, 0, 0])
+    # col 0, episode 0 = steps t=0..2 → x values 0, 2, 4
+    np.testing.assert_allclose(np.asarray(st.data["x"][0, :3]), [0.0, 2.0, 4.0])
+    np.testing.assert_allclose(np.asarray(st.data["x"][1, :2]), [6.0, 8.0])
+    np.testing.assert_allclose(np.asarray(st.data["x"][2, :1]), [10.0])
+    # col 1 is one long open episode
+    np.testing.assert_allclose(
+        np.asarray(st.data["x"][3]), [1.0, 3.0, 5.0, 7.0, 9.0, 11.0]
+    )
+    # masks match lengths; padding stays zero
+    assert np.asarray(st.active).sum() == 3 + 2 + 1 + 6
+    assert float(st.data["x"][1, 2:].sum()) == 0.0
+
+
+def test_episode_buffer_pack_overflow_rows_dropped():
+    from gymrl_tpu.replay.episode import episode_buffer_pack
+
+    T = 6
+    done = jnp.ones((T, 1), jnp.float32)  # six 1-step episodes, R=2 keeps 2
+    st = episode_buffer_pack({"x": jnp.arange(T, dtype=jnp.float32)[:, None]},
+                             done, rows_per_env=2)
+    np.testing.assert_array_equal(np.asarray(st.lengths), [1, 1])
+    np.testing.assert_allclose(np.asarray(st.data["x"][:, 0]), [0.0, 1.0])
