@@ -196,3 +196,120 @@ def test_continuous_action_mapping():
         state = sr.state
         np.testing.assert_allclose(np.asarray(sr.obs)[2:4], gobs[2:4], atol=0.05,
                                    err_msg=f"continuous vel mismatch at step {i}")
+
+
+def test_wind_turbulence_matches_box2d():
+    """v3 wind/turbulence oracle (engine claims exactness in its docstring):
+    wind-enabled free flight must track gymnasium step-by-step, including
+    the tanh(sin(0.02k)+sin(0.01πk)) pseudo-noise and the index walk."""
+    genv = gym.make("LunarLander-v3", enable_wind=True, wind_power=15.0,
+                    turbulence_power=1.5).unwrapped
+    # seed 21 was NOT in the fit set for WIND_INERTIA/WIND_TORQUE_LEVER
+    genv.reset(seed=21)
+    wind_idx = int(genv.wind_idx)
+    torque_idx = int(genv.torque_idx)
+    genv._np_random = _ZeroDispersion()
+
+    env = LunarLander(enable_wind=True)
+    params = env.default_params()._replace(dispersion_scale=jnp.asarray(0.0))
+    state = _copy_state(genv, env)._replace(
+        wind_idx=jnp.asarray(wind_idx, jnp.int32),
+        torque_idx=jnp.asarray(torque_idx, jnp.int32),
+    )
+    key = jax.random.PRNGKey(0)
+    for i in range(25):
+        gobs, grew, gterm, _, _ = genv.step(0)
+        key, k = jax.random.split(key)
+        sr = env.step(params, state, jnp.asarray(0), k)
+        state = sr.state
+        obs = np.asarray(sr.obs)
+        if gterm or bool(sr.terminated):
+            break
+        np.testing.assert_allclose(obs[:2], gobs[:2], atol=0.015,
+                                   err_msg=f"wind pos mismatch at step {i}")
+        np.testing.assert_allclose(obs[2:4], gobs[2:4], atol=0.03,
+                                   err_msg=f"wind vel mismatch at step {i}")
+        np.testing.assert_allclose(obs[4], gobs[4], atol=0.02,
+                                   err_msg=f"wind angle mismatch at step {i}")
+        np.testing.assert_allclose(obs[5], gobs[5], atol=0.04,
+                                   err_msg=f"wind omega mismatch at step {i}")
+        # index walk advanced in lockstep
+        assert int(state.wind_idx) == int(genv.wind_idx)
+        assert int(state.torque_idx) == int(genv.torque_idx)
+
+
+def _heuristic_action_jnp(s):
+    """gymnasium's discrete heuristic controller (lunar_lander.py:794-846)."""
+    angle_targ = jnp.clip(s[0] * 0.5 + s[2] * 1.0, -0.4, 0.4)
+    hover_targ = 0.55 * jnp.abs(s[0])
+    angle_todo = (angle_targ - s[4]) * 0.5 - s[5] * 1.0
+    hover_todo = (hover_targ - s[1]) * 0.5 - s[3] * 0.5
+    contact = (s[6] > 0) | (s[7] > 0)
+    angle_todo = jnp.where(contact, 0.0, angle_todo)
+    hover_todo = jnp.where(contact, -s[3] * 0.5, hover_todo)
+    a = jnp.where(
+        (hover_todo > jnp.abs(angle_todo)) & (hover_todo > 0.05), 2,
+        jnp.where(angle_todo < -0.05, 3, jnp.where(angle_todo > 0.05, 1, 0)),
+    )
+    return a.astype(jnp.int32)
+
+
+def test_touchdown_statistics_match_gymnasium():
+    """Statistical touchdown parity (leg suspension is the one documented
+    approximation): gymnasium's own heuristic controller flies N episodes on
+    both engines; success rate (+100 landings) and mean final return must
+    agree within seed-noise tolerances."""
+    from gymnasium.envs.box2d.lunar_lander import heuristic
+
+    N = 48
+    genv = gym.make("LunarLander-v3").unwrapped
+    g_rewards, g_success = [], 0
+    for seed in range(N):
+        s, _ = genv.reset(seed=seed)
+        total, last_r = 0.0, 0.0
+        for _ in range(1000):
+            s, r, term, trunc, _ = genv.step(heuristic(genv, s))
+            total += r
+            last_r = r
+            if term or trunc:
+                break
+        g_rewards.append(total)
+        g_success += last_r == 100.0
+
+    env = LunarLander()
+    params = env.default_params()
+
+    def episode(key):
+        k_reset, k_roll = jax.random.split(key)
+        state, obs = env.reset(params, k_reset)
+
+        def body(carry, k):
+            state, obs, done, total, last_r = carry
+            a = _heuristic_action_jnp(obs)
+            sr = env.step(params, state, a, k)
+            alive = jnp.logical_not(done)
+            total = total + sr.reward * alive
+            last_r = jnp.where(alive & (sr.terminated | sr.truncated), sr.reward, last_r)
+            done = done | sr.terminated | sr.truncated
+            return (sr.state, sr.obs, done, total, last_r), None
+
+        init = (state, obs, jnp.asarray(False), jnp.zeros(()), jnp.zeros(()))
+        (_, _, _, total, last_r), _ = jax.lax.scan(
+            body, init, jax.random.split(k_roll, 1000)
+        )
+        return total, last_r
+
+    totals, lasts = jax.jit(jax.vmap(episode))(
+        jax.random.split(jax.random.PRNGKey(123), N)
+    )
+    j_rewards = np.asarray(totals)
+    j_success = int(np.sum(np.asarray(lasts) == 100.0))
+
+    g_rate, j_rate = g_success / N, j_success / N
+    assert abs(g_rate - j_rate) <= 0.25, (
+        f"landing success rate diverged: gym {g_rate:.2f} vs jax {j_rate:.2f}"
+    )
+    assert abs(np.mean(g_rewards) - np.mean(j_rewards)) <= 60.0, (
+        f"mean heuristic return diverged: gym {np.mean(g_rewards):.1f} "
+        f"vs jax {np.mean(j_rewards):.1f}"
+    )
