@@ -49,10 +49,23 @@ def build(name):
         return PPOLSTMTrainer(PPOLSTMConfig()), 200.0
     if name == "ppg_rnn_lunarlander":
         from gymrl_tpu.algos.ppg import PPGConfig, PPGTrainer
-        return PPGTrainer(PPGConfig()), 200.0
+        return PPGTrainer(PPGConfig(max_train_steps=10_000_000)), 200.0
+    if name == "ppg_we_lunarlander":  # whole-episode BPTT (exact ref semantics)
+        from gymrl_tpu.algos.ppg import PPGConfig, PPGTrainer
+        cfg = PPGConfig(max_train_steps=10_000_000, whole_episode_bptt=True,
+                        episode_rows_per_env=8, seq_minibatch=64)
+        return PPGTrainer(cfg), 200.0
     if name == "ppo_rnn_lunarlander":
         from gymrl_tpu.algos.ppo_rnn import PPORNNTrainer, ppo_rnn_lunarlander_config
-        return PPORNNTrainer(ppo_rnn_lunarlander_config()), 200.0
+        cfg = ppo_rnn_lunarlander_config(max_train_steps=10_000_000)
+        return PPORNNTrainer(cfg), 200.0
+    if name == "ppo_rnn_we_lunarlander":  # whole-episode BPTT (exact ref semantics)
+        from gymrl_tpu.algos.ppo_rnn import PPORNNTrainer, ppo_rnn_lunarlander_config
+        cfg = ppo_rnn_lunarlander_config(
+            max_train_steps=10_000_000, whole_episode_bptt=True,
+            episode_rows_per_env=8, seq_minibatch=64,
+        )
+        return PPORNNTrainer(cfg), 200.0
     if name == "ddqn_per_cartpole":
         from gymrl_tpu.algos.dqn_variants import DQNFamilyTrainer, ddqn_per_config
         cfg = ddqn_per_config(num_envs=128, steps_per_iter=64, updates_per_step=2,
@@ -65,11 +78,13 @@ def build(name):
         return DQNFamilyTrainer(cfg), 495.0
     if name == "noisy_dqn_cartpole":
         from gymrl_tpu.algos.dqn_variants import DQNFamilyTrainer, noisy_dqn_config
-        cfg = noisy_dqn_config(num_envs=128, steps_per_iter=64, updates_per_step=2)
+        # reference cadence is 1 update per single-env step; 16 per vector
+        # step of 128 envs keeps the update:data ratio high enough to learn
+        cfg = noisy_dqn_config(num_envs=128, steps_per_iter=64, updates_per_step=16)
         return DQNFamilyTrainer(cfg), 495.0
     if name == "rainbow_dqn_cartpole":
         from gymrl_tpu.algos.dqn_variants import DQNFamilyTrainer, rainbow_config
-        cfg = rainbow_config(num_envs=128, steps_per_iter=64, updates_per_step=2)
+        cfg = rainbow_config(num_envs=128, steps_per_iter=64, updates_per_step=16)
         return DQNFamilyTrainer(cfg), 495.0
     if name == "sac_pendulum":
         from gymrl_tpu.algos.continuous import SACTrainer, sac_config
@@ -86,7 +101,7 @@ def build(name):
     if name == "sac_cartpole":
         from gymrl_tpu.algos.continuous import DiscreteSACTrainer, sac_discrete_config
         cfg = sac_discrete_config(num_envs=64, steps_per_iter=64, updates_per_step=8,
-                                  memory_capacity=65536)
+                                  memory_capacity=65536, max_train_steps=3_000_000)
         return DiscreteSACTrainer(cfg), 495.0
     raise KeyError(name)
 
