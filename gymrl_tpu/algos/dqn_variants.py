@@ -149,38 +149,40 @@ class QNet(nn.Module):
     def _layer(self, feat, noisy, name):
         return NoisyDense(feat, name=name) if noisy else Dense(feat, name=name)
 
-    def _stream(self, x, out_dim, name, deterministic):
+    def _stream(self, x, out_dim, name, deterministic, per_sample):
         if self.head_hidden > 0:
             linear = "noisy" if self.noisy_heads else "dense"
             return MLP([self.head_hidden, out_dim], linear=linear, name=name)(
-                x, deterministic=deterministic
+                x, deterministic=deterministic, per_sample=per_sample
             )
         return self._layer(out_dim, self.noisy_heads, name)(
-            x, deterministic=deterministic
+            x, deterministic=deterministic, per_sample=per_sample
         )
 
     @nn.compact
-    def __call__(self, x, *, deterministic: bool = False):
+    def __call__(self, x, *, deterministic: bool = False, per_sample: bool = False):
         if self.trunk == "pscn":
             linear = "noisy" if self.noisy_trunk else "dense"
             x = PSCN(self.pscn_dim, linear=linear, name="pscn")(
-                x, deterministic=deterministic
+                x, deterministic=deterministic, per_sample=per_sample
             )
             if self.trunk_dims:
                 x = MLP(list(self.trunk_dims), last_act=True, linear=linear,
-                        name="trunk_mlp")(x, deterministic=deterministic)
+                        name="trunk_mlp")(
+                    x, deterministic=deterministic, per_sample=per_sample
+                )
         else:
             for i in range(self.trunk_layers):
                 x = self._layer(self.hidden_dim, self.noisy_trunk, f"fc{i + 1}")(
-                    x, deterministic=deterministic
+                    x, deterministic=deterministic, per_sample=per_sample
                 )
                 x = nn.relu(x)
         if self.dueling:
-            v = self._stream(x, 1, "value", deterministic)
-            a = self._stream(x, self.n_actions, "advantage", deterministic)
+            v = self._stream(x, 1, "value", deterministic, per_sample)
+            a = self._stream(x, self.n_actions, "advantage", deterministic, per_sample)
             return v + (a - jnp.mean(a, axis=-1, keepdims=True))
         return self._layer(self.n_actions, self.noisy_heads, "head")(
-            x, deterministic=deterministic
+            x, deterministic=deterministic, per_sample=per_sample
         )
 
 
@@ -249,9 +251,16 @@ class DQNFamilyTrainer(Trainer):
         self.tx = optax.chain(*tx)
 
     # -- helpers --------------------------------------------------------------
-    def _apply(self, params, obs, noise_key=None):
+    def _apply(self, params, obs, noise_key=None, per_sample: bool = False):
+        """``per_sample=True`` = independent ε per batch row (acting path:
+        decorrelates exploration across the vectorized env fleet — the
+        equivalent of the reference's per-env-step noise resample).
+        Updates keep one shared draw per forward, the NoisyNet training
+        cadence the reference uses (utils/model.py:74-84)."""
         if self.cfg.noisy and noise_key is not None:
-            return self.net.apply(params, obs, rngs={"noise": noise_key})
+            return self.net.apply(
+                params, obs, per_sample=per_sample, rngs={"noise": noise_key}
+            )
         return self.net.apply(params, obs, deterministic=True)
 
     def init(self, key, _place: bool = True) -> FamilyTrainState:
@@ -405,7 +414,9 @@ class DQNFamilyTrainer(Trainer):
             obs_rms = ts.obs_rms
             nobs = normalize_obs(obs_rms, ts.vec_state.obs) if cfg.normalize_obs \
                 else ts.vec_state.obs
-            q = self._apply(ts.params, nobs, k_act if cfg.noisy else None)
+            q = self._apply(
+                ts.params, nobs, k_act if cfg.noisy else None, per_sample=True
+            )
             action = jnp.argmax(q, axis=-1).astype(jnp.int32)
             if not cfg.noisy:  # ε-greedy exploration
                 eps = exp_epsilon_decay(

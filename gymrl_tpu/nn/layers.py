@@ -55,7 +55,7 @@ class Dense(nn.Module):
     use_bias: bool = True
 
     @nn.compact
-    def __call__(self, x, *, deterministic: bool = True):
+    def __call__(self, x, *, deterministic: bool = True, per_sample: bool = False):
         kernel = self.param("kernel", self.kernel_init, (x.shape[-1], self.features))
         y = x @ kernel.astype(x.dtype)
         if self.use_bias:
@@ -75,13 +75,22 @@ class NoisyDense(nn.Module):
     Training: pass a 'noise' rng → ε resampled once per call, shared across
     the batch (same cadence as the reference's per-forward reset_noise).
     Eval: no 'noise' rng / deterministic=True → μ-only.
+
+    ``per_sample=True`` draws an independent (ε_in, ε_out) PER ROW of the
+    batch via the factorized identity
+    ``y_i = x_i@μ + ((x_i∘ε_in_i)@σ)∘ε_out_i + b_μ + b_σ∘ε_out_i`` — two
+    plain matmuls, no per-row weight materialization. This is the
+    vectorized equivalent of the reference's independent per-env-step noise
+    draws (utils/model.py:74-84 resamples every forward of its single env);
+    with B lockstep envs sharing one draw, exploration is perfectly
+    correlated across the fleet, which stalls NoisyNet-driven exploration.
     """
 
     features: int
     sigma_init: float = 0.5
 
     @nn.compact
-    def __call__(self, x, *, deterministic: bool = False):
+    def __call__(self, x, *, deterministic: bool = False, per_sample: bool = False):
         in_features = x.shape[-1]
         mu_range = 1.0 / np.sqrt(in_features)
         w_mu = self.param("kernel_mu", gl_init.uniform_range(mu_range), (in_features, self.features))
@@ -98,15 +107,21 @@ class NoisyDense(nn.Module):
         )
 
         use_noise = (not deterministic) and self.has_rng("noise")
-        if use_noise:
-            key = self.make_rng("noise")
-            k_in, k_out = jax.random.split(key)
-            eps_in = _scale_noise(jax.random.normal(k_in, (in_features,)))
-            eps_out = _scale_noise(jax.random.normal(k_out, (self.features,)))
-            w = w_mu + w_sigma * (eps_in[:, None] * eps_out[None, :])
-            b = b_mu + b_sigma * eps_out
-        else:
-            w, b = w_mu, b_mu
+        if not use_noise:
+            return x @ w_mu.astype(x.dtype) + b_mu.astype(x.dtype)
+        key = self.make_rng("noise")
+        k_in, k_out = jax.random.split(key)
+        if per_sample:
+            rows = x.shape[:-1]  # independent ε per batch row
+            eps_in = _scale_noise(jax.random.normal(k_in, (*rows, in_features)))
+            eps_out = _scale_noise(jax.random.normal(k_out, (*rows, self.features)))
+            y = x @ w_mu.astype(x.dtype)
+            y = y + ((x * eps_in) @ w_sigma.astype(x.dtype)) * eps_out
+            return y + b_mu.astype(x.dtype) + b_sigma.astype(x.dtype) * eps_out
+        eps_in = _scale_noise(jax.random.normal(k_in, (in_features,)))
+        eps_out = _scale_noise(jax.random.normal(k_out, (self.features,)))
+        w = w_mu + w_sigma * (eps_in[:, None] * eps_out[None, :])
+        b = b_mu + b_sigma * eps_out
         return x @ w.astype(x.dtype) + b.astype(x.dtype)
 
 
@@ -130,12 +145,14 @@ class MLP(nn.Module):
         return {"relu": nn.relu, "tanh": jnp.tanh, "silu": nn.silu}[self.activation]
 
     @nn.compact
-    def __call__(self, x, *, deterministic: bool = False):
+    def __call__(self, x, *, deterministic: bool = False, per_sample: bool = False):
         n = len(self.dims)
         assert n >= 1, "dims can't be empty"
         for i, feat in enumerate(self.dims):
             if self.linear == "noisy":
-                x = NoisyDense(feat, name=f"layer_{i}")(x, deterministic=deterministic)
+                x = NoisyDense(feat, name=f"layer_{i}")(
+                    x, deterministic=deterministic, per_sample=per_sample
+                )
             else:
                 x = Dense(feat, kernel_init=self.kernel_init, name=f"layer_{i}")(x)
             is_last = i == n - 1
@@ -161,7 +178,7 @@ class PSCN(nn.Module):
     linear: str = "dense"
 
     @nn.compact
-    def __call__(self, x, *, deterministic: bool = False):
+    def __call__(self, x, *, deterministic: bool = False, per_sample: bool = False):
         min_dim = 2 ** (self.depth - 1)
         assert self.depth >= 1, "depth must be at least 1"
         assert self.output_dim % min_dim == 0, (
@@ -171,7 +188,7 @@ class PSCN(nn.Module):
         out_dim = self.output_dim
         for i in range(self.depth):
             x = MLP([out_dim], last_act=True, linear=self.linear, name=f"mlp_{i}")(
-                x, deterministic=deterministic
+                x, deterministic=deterministic, per_sample=per_sample
             )
             if i < self.depth - 1:
                 half = out_dim // 2

@@ -52,6 +52,23 @@ def test_noisy_dense_mu_only_in_eval():
     assert not np.allclose(np.asarray(na), np.asarray(out1))
 
 
+def test_noisy_dense_per_sample_rows_independent():
+    layer = NoisyDense(16)
+    params = layer.init({"params": jax.random.PRNGKey(0)}, jnp.zeros((1, 8)))
+    x = jnp.ones((6, 8))  # identical rows
+    out = layer.apply(params, x, per_sample=True, rngs={"noise": jax.random.PRNGKey(3)})
+    # per-row noise ⇒ identical inputs map to DIFFERENT outputs per row
+    assert not np.allclose(np.asarray(out[0]), np.asarray(out[1]))
+    # factorized identity: with a single row the per-sample path draws the
+    # exact same noise bits as the shared path (shape (1,n) vs (n,) produce
+    # identical streams), so it must equal the materialized-weights output
+    x1 = jnp.linspace(-1.0, 1.0, 8)[None, :]
+    k = jax.random.PRNGKey(7)
+    a = layer.apply(params, x1, per_sample=True, rngs={"noise": k})
+    b = layer.apply(params, x1, rngs={"noise": k})
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6)
+
+
 def test_noisy_dense_sigma_init_magnitude():
     layer = NoisyDense(32, sigma_init=0.5)
     params = layer.init({"params": jax.random.PRNGKey(0)}, jnp.zeros((1, 64)))
