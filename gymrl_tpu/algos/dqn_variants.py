@@ -53,7 +53,7 @@ from gymrl_tpu.core.normalization import (
     rms_init,
     rms_update_batch,
 )
-from gymrl_tpu.nn.layers import MLP, PSCN, Dense, NoisyDense
+from gymrl_tpu.nn.layers import MLP, PSCN, ConvEncoder, Dense, NoisyDense
 from gymrl_tpu.replay.per import (
     PERState,
     per_init,
@@ -80,7 +80,7 @@ class DQNFamilyConfig:
     noisy_trunk: bool = False
     noisy_heads: bool = False
     trunk_layers: int = 2
-    trunk: str = "mlp"  # "mlp" | "pscn" (flappybird's PSCN-512 trunk)
+    trunk: str = "mlp"  # "mlp" | "pscn" (flappybird) | "conv" (pixel obs)
     pscn_dim: int = 512
     trunk_dims: tuple = ()  # post-PSCN MLP widths (flappy: (512, 256, 256)→256 out)
     head_hidden: int = 0  # dueling stream hidden width (flappy: 64)
@@ -161,7 +161,11 @@ class QNet(nn.Module):
 
     @nn.compact
     def __call__(self, x, *, deterministic: bool = False, per_sample: bool = False):
-        if self.trunk == "pscn":
+        if self.trunk == "conv":
+            # pixel observations [B, H, W, C] — the image-obs capability of
+            # the reference's make_env (utils/runner.py:57-66), NHWC-native
+            x = ConvEncoder(self.hidden_dim, name="conv")(x)
+        elif self.trunk == "pscn":
             linear = "noisy" if self.noisy_trunk else "dense"
             x = PSCN(self.pscn_dim, linear=linear, name="pscn")(
                 x, deterministic=deterministic, per_sample=per_sample
@@ -266,14 +270,14 @@ class DQNFamilyTrainer(Trainer):
     def init(self, key, _place: bool = True) -> FamilyTrainState:
         cfg = self.cfg
         k_params, k_env, k_iter = jax.random.split(key, 3)
-        obs_dim = self.venv.env.obs_dim
+        obs_shape = self.venv.env.obs_shape  # (d,) for vectors, (H, W, C) for pixels
         init_rngs = {"params": k_params}
-        params = self.net.init(init_rngs, jnp.zeros((1, obs_dim)))
+        params = self.net.init(init_rngs, jnp.zeros((1, *obs_shape)))
         example = Transition(
-            obs=jnp.zeros((obs_dim,), jnp.float32),
+            obs=jnp.zeros(obs_shape, jnp.float32),
             action=jnp.zeros((), jnp.int32),
             reward=jnp.zeros((), jnp.float32),
-            next_obs=jnp.zeros((obs_dim,), jnp.float32),
+            next_obs=jnp.zeros(obs_shape, jnp.float32),
             terminated=jnp.zeros((), jnp.float32),
             done=jnp.zeros((), jnp.float32),
         )
@@ -286,10 +290,10 @@ class DQNFamilyTrainer(Trainer):
         window = None
         if cfg.n_steps > 1:
             window = NStepWindow(
-                obs=jnp.zeros((cfg.n_steps, b, obs_dim), jnp.float32),
+                obs=jnp.zeros((cfg.n_steps, b, *obs_shape), jnp.float32),
                 action=jnp.zeros((cfg.n_steps, b), jnp.int32),
                 reward=jnp.zeros((cfg.n_steps, b), jnp.float32),
-                next_obs=jnp.zeros((cfg.n_steps, b, obs_dim), jnp.float32),
+                next_obs=jnp.zeros((cfg.n_steps, b, *obs_shape), jnp.float32),
                 terminated=jnp.zeros((cfg.n_steps, b), jnp.float32),
                 done=jnp.zeros((cfg.n_steps, b), jnp.float32),
             )
@@ -300,7 +304,7 @@ class DQNFamilyTrainer(Trainer):
             replay=replay,
             vec_state=self.venv.reset(k_env),
             window=window,
-            obs_rms=rms_init((obs_dim,)),
+            obs_rms=rms_init(obs_shape),
             reward_scaler=reward_scaler_init(cfg.num_envs, cfg.gamma),
             key=k_iter,
             env_steps=jnp.zeros((), jnp.int32),
@@ -336,7 +340,8 @@ class DQNFamilyTrainer(Trainer):
         for i in reversed(range(n)):
             n_reward = w.reward[i] + gamma * (1.0 - w.done[i]) * n_reward
             cut = w.done[i] > 0.5
-            next_obs = jnp.where(cut[:, None], w.next_obs[i], next_obs)
+            cut_b = cut.reshape(cut.shape + (1,) * (next_obs.ndim - 1))
+            next_obs = jnp.where(cut_b, w.next_obs[i], next_obs)
             terminal = jnp.where(cut, w.terminated[i], terminal)
         return Transition(
             obs=w.obs[0], action=w.action[0], reward=n_reward,
@@ -596,6 +601,22 @@ def noisy_dqn_flappybird_config(**kw) -> DQNFamilyConfig:
         grad_clip_value=None, grad_clip_norm=1.0,
         normalize_obs=True, scale_rewards=True,
         solve_threshold=None,
+    )
+    base.update(kw)
+    return DQNFamilyConfig(**base)
+
+
+def dqn_pixels_config(**kw) -> DQNFamilyConfig:
+    """Pixel-observation DQN: conv trunk on CartPolePixels-v0 — the
+    framework's image-obs pipeline (reference capability: make_env's
+    AtariPreprocessing + PyTorchFrame path, utils/runner.py:57-66).
+    Small replay: pixel transitions are ~9k floats each."""
+    base = dict(
+        env_name="CartPolePixels-v0", trunk="conv", hidden_dim=256,
+        gamma=0.99, lr=3e-4, double=True, dueling=True, use_per=False,
+        num_envs=32, batch_size=32, memory_capacity=2048,
+        target_mode="hard_step", target_update_freq=500,
+        grad_clip_value=None, grad_clip_norm=10.0, updates_per_step=2,
     )
     base.update(kw)
     return DQNFamilyConfig(**base)

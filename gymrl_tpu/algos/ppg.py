@@ -41,6 +41,16 @@ class PPGConfig(PPORNNConfig):
     gamma: float = 0.995  # ppg_rnn_lunarlander.py:46
     aux_epochs: int = 6
     beta_clone: float = 1.0
+    # Aux-phase behavior. The reference anchors the clone loss to the
+    # BEHAVIOR policy's logp and runs the aux phase every update
+    # (ppg_rnn_lunarlander.py:372-393) — at vectorized scale this drags the
+    # policy back toward pre-update and the run plateaus (ablations in
+    # SOLVE_r2.jsonl: aux as-ref plateaus at avg100 ~50 on LunarLander while
+    # aux_epochs=0 solves at 360k steps). Canonical PPG (Cobbe et al. 2020)
+    # anchors to the CURRENT (post-policy-phase) distribution via full KL
+    # and runs aux only every N_pi policy phases; both are exposed here:
+    clone_target: str = "behavior"  # "behavior" (ref) | "current" (canonical)
+    aux_every: int = 1  # run the aux phase every N train iterations
 
 
 class PPGActorCritic(nn.Module):
@@ -84,10 +94,19 @@ class PPGTrainer(PPORNNTrainer):
     def _aux_loss(self, params, mb):
         logits, aux_values = self._aux_seq_forward(params, mb["h0"], mb["obs"])
         logp_all = jax.nn.log_softmax(logits)
-        logp = jnp.take_along_axis(logp_all, mb["action"][..., None], axis=-1).squeeze(-1)
         mask = mb["mask"]
         aux_value_loss = masked_mean(jnp.square(aux_values - mb["v_target"]), mask)
-        clone_loss = masked_mean(jnp.square(logp - mb["logp"]), mask)
+        if self.cfg.clone_target == "current":
+            # canonical PPG: KL(anchor ‖ new) to the post-policy-phase dist
+            anchor = mb["anchor_logp_all"]
+            kl = jnp.sum(jnp.exp(anchor) * (anchor - logp_all), axis=-1)
+            clone_loss = masked_mean(kl, mask)
+        else:
+            # reference: MSE to the behavior policy's taken-action logp (:383-388)
+            logp = jnp.take_along_axis(
+                logp_all, mb["action"][..., None], axis=-1
+            ).squeeze(-1)
+            clone_loss = masked_mean(jnp.square(logp - mb["logp"]), mask)
         loss = aux_value_loss + self.cfg.beta_clone * clone_loss
         return loss, {"aux_value_loss": aux_value_loss, "clone_loss": clone_loss}
 
@@ -135,6 +154,17 @@ class PPGTrainer(PPORNNTrainer):
         )
 
         # -- phase 2: auxiliary epochs (ref :372-393)
+        if cfg.clone_target == "current":
+            # anchor = the post-policy-phase distribution over the buffer,
+            # computed once (canonical PPG's pi_old for the aux phase)
+            anchor_logits, _ = self._aux_seq_forward(params, data["h0"], data["obs"])
+            data = dict(
+                data,
+                anchor_logp_all=jax.lax.stop_gradient(
+                    jax.nn.log_softmax(anchor_logits)
+                ),
+            )
+
         def phase2_epoch(carry, k_epoch):
             params, opt_state = carry
             perm = jax.random.permutation(k_epoch, n_seqs).reshape(cfg.num_minibatches, mb_size)
@@ -154,9 +184,28 @@ class PPGTrainer(PPORNNTrainer):
             )
             return (params, opt_state), aux_metrics
 
-        (params, opt_state), aux_metrics = jax.lax.scan(
-            phase2_epoch, (params, opt_state), jax.random.split(k_p2, cfg.aux_epochs)
-        )
+        def run_phase2(carry):
+            return jax.lax.scan(
+                phase2_epoch, carry, jax.random.split(k_p2, cfg.aux_epochs)
+            )
+
+        if cfg.aux_every > 1:
+            # canonical PPG cadence: aux only every N_pi policy phases
+            iter_idx = ts.env_steps // (cfg.num_envs * cfg.rollout_steps)
+
+            def skip_phase2(carry):
+                zeros = {
+                    "aux_value_loss": jnp.zeros((cfg.aux_epochs, cfg.num_minibatches)),
+                    "clone_loss": jnp.zeros((cfg.aux_epochs, cfg.num_minibatches)),
+                }
+                return carry, zeros
+
+            (params, opt_state), aux_metrics = jax.lax.cond(
+                (iter_idx % cfg.aux_every) == cfg.aux_every - 1,
+                run_phase2, skip_phase2, (params, opt_state),
+            )
+        else:
+            (params, opt_state), aux_metrics = run_phase2((params, opt_state))
 
         new_ts = RNNTrainState(
             params=params, opt_state=opt_state, vec_state=vec_state, hidden=hidden,

@@ -32,9 +32,11 @@ def _populate():
     from gymrl_tpu.envs.cliffwalking import CliffWalking
     from gymrl_tpu.envs.lunarlander import LunarLander
     from gymrl_tpu.envs.flappybird import FlappyBird
+    from gymrl_tpu.envs.pixels import CartPolePixels
 
     _REGISTRY.update(
         {
+            "CartPolePixels-v0": CartPolePixels,
             "CartPole-v1": CartPole,
             "Pendulum-v1": Pendulum,
             "MountainCar-v0": MountainCar,

@@ -274,6 +274,35 @@ class NoisyConv2d(nn.Module):
         return y + b.astype(y.dtype)
 
 
+class ConvEncoder(nn.Module):
+    """Conv trunk for pixel observations: [.., H, W, C] → [.., features].
+
+    The TPU-side counterpart of the reference's image path (AtariPreprocessing
+    + PyTorchFrame feeding a torch conv net, utils/runner.py:57-66): NHWC
+    convolutions (flax/XLA's TPU-native layout — no CHW transpose), strided
+    Nature-DQN-style downsampling, flatten, Dense to ``features``.
+    Leading batch dims are arbitrary (flax Conv vectorizes over them after a
+    reshape), so the same module serves [B, H, W, C] and [T, B, H, W, C].
+    """
+
+    features: int = 256
+    channels: Sequence[int] = (16, 32, 32)
+    kernels: Sequence[int] = (8, 4, 3)
+    strides: Sequence[int] = (4, 2, 1)
+
+    @nn.compact
+    def __call__(self, x, *, deterministic: bool = False, per_sample: bool = False):
+        lead = x.shape[:-3]
+        x = x.reshape((-1,) + x.shape[-3:])
+        for i, (ch, k, s) in enumerate(zip(self.channels, self.kernels, self.strides)):
+            x = nn.Conv(ch, (k, k), (s, s), padding="VALID", name=f"conv_{i}")(x)
+            x = nn.relu(x)
+        x = x.reshape(x.shape[0], -1)
+        x = Dense(self.features, name="proj")(x)
+        x = nn.relu(x)
+        return x.reshape(lead + (self.features,))
+
+
 def positional_encoding(seq_len: int, d_model: int) -> jax.Array:
     """Sinusoidal PE table [seq_len, d_model] (utils/model.py:189-211)."""
     position = np.arange(seq_len)[:, None].astype(np.float32)

@@ -118,6 +118,11 @@ def _noisy_dqn_flappybird():
     return DQNFamilyTrainer(noisy_dqn_flappybird_config()), "NoisyDQN", None
 
 
+def _dqn_cartpole_pixels():
+    from gymrl_tpu.algos.dqn_variants import DQNFamilyTrainer, dqn_pixels_config
+    return DQNFamilyTrainer(dqn_pixels_config()), "DQN_Pixels", 495.0
+
+
 def _qlearning_frozenlake():
     from gymrl_tpu.algos.tabular import QLearningTrainer, qlearning_frozenlake_config
     return QLearningTrainer(qlearning_frozenlake_config()), "QLearning", None
@@ -158,6 +163,7 @@ WORKLOADS = {
     "ppo_lstm_lunarlander": _ppo_lstm_lunarlander,
     "ppg_rnn_lunarlander": _ppg_rnn_lunarlander,
     "noisy_dqn_flappybird": _noisy_dqn_flappybird,
+    "dqn_cartpole_pixels": _dqn_cartpole_pixels,
     "sac_pendulum": _sac_pendulum,
     "sac_cartpole": _sac_cartpole,
     "td3_pendulum": _td3_pendulum,

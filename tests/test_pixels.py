@@ -1,0 +1,81 @@
+"""Pixel-observation pipeline: rendering sanity, frame mechanics, conv DQN.
+
+Covers the reference's image-obs capability (make_env's AtariPreprocessing
++ PyTorchFrame path, utils/runner.py:57-66) in its TPU-native form: jitted
+rasterization + frame stack + NHWC conv trunk.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from gymrl_tpu.envs.pixels import CartPolePixels, rasterize_box, rasterize_segment
+from gymrl_tpu.envs.registry import make, make_vec
+
+
+def test_rasterizers():
+    box = np.asarray(rasterize_box(16, 16, 8.0, 8.0, 2.0, 1.0))
+    assert box[8, 8] == 1.0 and box[8, 6] == 1.0 and box[8, 11] == 0.0
+    assert box[9, 8] == 1.0 and box[10, 8] == 0.0
+    seg = np.asarray(rasterize_segment(16, 16, 2.0, 2.0, 13.0, 13.0, 1.0))
+    assert seg[5, 5] == 1.0 and seg[2, 13] == 0.0  # on/off the diagonal
+
+
+def test_pixel_cartpole_reset_and_step_shapes():
+    env = make("CartPolePixels-v0")
+    params = env.default_params()
+    state, obs = env.reset(params, jax.random.PRNGKey(0))
+    assert obs.shape == (48, 48, 4)
+    assert obs.dtype == jnp.float32
+    assert 0.0 <= float(obs.min()) and float(obs.max()) <= 1.0
+    # fresh reset: all stack slots hold the same frame
+    np.testing.assert_array_equal(np.asarray(obs[..., 0]), np.asarray(obs[..., 3]))
+    res = env.step(params, state, jnp.int32(1), jax.random.PRNGKey(1))
+    assert res.obs.shape == (48, 48, 4)
+    assert float(res.reward) == 1.0
+    # stack advanced: oldest slot is the reset frame, newest differs
+    np.testing.assert_array_equal(
+        np.asarray(res.obs[..., 2]), np.asarray(obs[..., 3])
+    )
+
+
+def test_pixel_frame_tracks_cart_motion():
+    env = make("CartPolePixels-v0")
+    params = env.default_params()
+    state, obs = env.reset(params, jax.random.PRNGKey(0))
+    # push right repeatedly: the rendered cart column mass must move right
+    for i in range(25):
+        res = env.step(params, state, jnp.int32(1), jax.random.PRNGKey(i))
+        state = res.state
+    col0 = np.asarray(obs[..., -1]).sum(axis=0)
+    col1 = np.asarray(res.obs[..., -1]).sum(axis=0)
+    com0 = (col0 * np.arange(48)).sum() / col0.sum()
+    com1 = (col1 * np.arange(48)).sum() / col1.sum()
+    assert com1 > com0 + 0.5, f"cart did not move right: {com0} -> {com1}"
+
+
+def test_pixel_vec_env_autoreset():
+    venv = make_vec("CartPolePixels-v0", 4)
+    vs = venv.reset(jax.random.PRNGKey(0))
+    assert vs.obs.shape == (4, 48, 48, 4)
+    vs, tr = venv.step(vs, jnp.zeros((4,), jnp.int32), jax.random.PRNGKey(1))
+    assert tr.next_obs.shape == (4, 48, 48, 4)
+    assert np.isfinite(np.asarray(tr.reward)).all()
+
+
+def test_conv_dqn_train_iter_runs():
+    from gymrl_tpu.algos.dqn_variants import DQNFamilyTrainer, dqn_pixels_config
+
+    cfg = dqn_pixels_config(
+        num_envs=4, steps_per_iter=8, batch_size=8, memory_capacity=64,
+        updates_per_step=1, target_update_freq=4,
+    )
+    tr = DQNFamilyTrainer(cfg)
+    ts = tr.init(jax.random.PRNGKey(0))
+    ts, out = tr.train_iter(ts)
+    ts, out = tr.train_iter(ts)
+    assert int(ts.env_steps) == 2 * 8 * 4
+    assert np.isfinite(float(out.metrics["loss"]))
+    # eval path (argmax over conv Q-net) produces valid actions
+    a = tr.policy(ts, ts.vec_state.obs, jax.random.PRNGKey(2))
+    assert a.shape == (4,) and set(np.asarray(a)) <= {0, 1}
