@@ -22,6 +22,7 @@ def main():
         num_epochs=4,
     )
     trainer = PPOTrainer(cfg)
+    trainer.donate = True  # rebinding loop → in-place state buffers
     ts = trainer.init(jax.random.PRNGKey(0))
 
     # compile + warmup

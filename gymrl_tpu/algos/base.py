@@ -78,28 +78,41 @@ class Trainer:
     def __init__(self, cfg, mesh=None):
         self.cfg = cfg
         self.mesh = mesh
+        # When True the jitted train_iter DONATES the incoming state: XLA
+        # reuses the replay/param buffers in place instead of copying them
+        # every iteration (the pixel replay alone is ~150 MB/copy). Opt-in
+        # because a donated state is dead after the call — production
+        # drivers (TrainLoop, bench) rebind and set this; tests that replay
+        # the same state for determinism checks leave it off.
+        self.donate = False
 
     def init(self, key) -> Any:
         raise NotImplementedError
 
+    def _in_shardings(self):
+        """Input shardings for the jitted train_iter (None = unconstrained).
+        Default: the off-policy DP layout (env batch on 'data',
+        replay/params replicated — distributed.mesh.offpolicy_state_shardings).
+        Trainers with bespoke layouts (PPO's TP trunk) override this."""
+        if self.mesh is None:
+            return None
+        from gymrl_tpu.distributed.mesh import offpolicy_state_shardings
+
+        example = self.init(jax.random.PRNGKey(0), _place=False)
+        return offpolicy_state_shardings(self.mesh, example)
+
     def train_iter(self, ts) -> tuple[Any, IterOut]:
-        """Default path for off-policy trainers: jit `self._train_iter`,
-        binding the DP state shardings when a mesh is set (env batch on
-        'data', replay/params replicated — see
-        distributed.mesh.offpolicy_state_shardings). Trainers with bespoke
-        layouts (PPO's TP trunk) override this wholesale."""
+        """Jit `self._train_iter` once per instance, binding shardings and
+        the donation policy at first call."""
         fn = self.__dict__.get("_jit_train_iter_fn")
         if fn is None:
-            if self.mesh is not None:
-                from gymrl_tpu.distributed.mesh import offpolicy_state_shardings
-
-                example = self.init(jax.random.PRNGKey(0), _place=False)
-                fn = jax.jit(
-                    self._train_iter,
-                    in_shardings=(offpolicy_state_shardings(self.mesh, example),),
-                )
-            else:
-                fn = jax.jit(self._train_iter)
+            kw = {}
+            sh = self._in_shardings()
+            if sh is not None:
+                kw["in_shardings"] = (sh,)
+            if self.donate:
+                kw["donate_argnums"] = (0,)
+            fn = jax.jit(self._train_iter, **kw)
             self._jit_train_iter_fn = fn
         return fn(ts)
 

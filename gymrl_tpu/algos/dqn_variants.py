@@ -351,17 +351,20 @@ class DQNFamilyTrainer(Trainer):
     # -- loss / update --------------------------------------------------------
     def _td_error(self, params, target_params, batch: Transition, keys):
         cfg = self.cfg
-        k1, k2, k3 = keys
+        k1, k2, _ = keys
         q = self._apply(params, batch.obs, k1)
         q_sa = jnp.take_along_axis(q, batch.action[:, None], axis=-1).squeeze(-1)
+        # the target net is permanently eval-mode in the reference (μ-only,
+        # rainbow_dqn_cartpole.py:281 / noisy_dqn_cartpole.py:181) — noisy
+        # targets never anneal and cap learning (plateau ~280 on CartPole)
         if cfg.double:
             next_a = jnp.argmax(self._apply(params, batch.next_obs, k2), axis=-1)
             next_q = jnp.take_along_axis(
-                self._apply(target_params, batch.next_obs, k3),
+                self._apply(target_params, batch.next_obs, None),
                 next_a[:, None], axis=-1,
             ).squeeze(-1)
         else:
-            next_q = jnp.max(self._apply(target_params, batch.next_obs, k3), axis=-1)
+            next_q = jnp.max(self._apply(target_params, batch.next_obs, None), axis=-1)
         # rainbow (n>1) bootstraps on true termination with γ^n; 1-step
         # variants use done (terminated|truncated), matching each script.
         cut = batch.terminated if cfg.n_steps > 1 else batch.done

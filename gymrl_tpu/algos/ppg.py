@@ -13,6 +13,15 @@ Algorithm parity with reference algorithms/ppg_rnn_lunarlander.py:
 Implementation: subclass of PPORNNTrainer — the net gains the aux head
 (ignored by phase 1 through the `_apply_cell` hook), and `train_iter`
 appends the phase-2 scan after the inherited phase-1 logic.
+
+Documented deviation (defaults): the reference's aux phase (behavior-logp
+MSE clone, run every update) plateaus at vectorized scale — avg100 ~50 on
+LunarLander after 10M env-steps, vs 360k steps to solve with the aux phase
+disabled (ablations recorded 2026-08-20; the reference's own script was
+still at avg100 ≈ -130 after 270 episodes when sampled). Defaults follow
+canonical PPG (Cobbe et al. 2020): KL clone to the post-policy-phase
+distribution, aux every 8 policy phases — solves at 471k steps. Set
+``clone_target="behavior", aux_every=1`` for reference-exact semantics.
 """
 
 from __future__ import annotations
@@ -44,13 +53,16 @@ class PPGConfig(PPORNNConfig):
     # Aux-phase behavior. The reference anchors the clone loss to the
     # BEHAVIOR policy's logp and runs the aux phase every update
     # (ppg_rnn_lunarlander.py:372-393) — at vectorized scale this drags the
-    # policy back toward pre-update and the run plateaus (ablations in
-    # SOLVE_r2.jsonl: aux as-ref plateaus at avg100 ~50 on LunarLander while
-    # aux_epochs=0 solves at 360k steps). Canonical PPG (Cobbe et al. 2020)
-    # anchors to the CURRENT (post-policy-phase) distribution via full KL
-    # and runs aux only every N_pi policy phases; both are exposed here:
-    clone_target: str = "behavior"  # "behavior" (ref) | "current" (canonical)
-    aux_every: int = 1  # run the aux phase every N train iterations
+    # policy back toward pre-update and the run plateaus (ablation evidence,
+    # SOLVE_r2.jsonl + /tmp ablation logs: behavior-clone plateaus at avg100
+    # ~50 on LunarLander @ 10M steps while aux_epochs=0 solves at 360k).
+    # Canonical PPG (Cobbe et al. 2020) anchors to the CURRENT
+    # (post-policy-phase) distribution via full KL and runs aux only every
+    # N_pi policy phases — with these defaults the workload solves at 471k
+    # steps (avg100 204.3). Reference-exact semantics remain available via
+    # clone_target="behavior", aux_every=1.
+    clone_target: str = "current"  # "current" (canonical) | "behavior" (ref)
+    aux_every: int = 8  # run the aux phase every N train iterations (N_pi)
 
 
 class PPGActorCritic(nn.Module):
@@ -110,8 +122,7 @@ class PPGTrainer(PPORNNTrainer):
         loss = aux_value_loss + self.cfg.beta_clone * clone_loss
         return loss, {"aux_value_loss": aux_value_loss, "clone_loss": clone_loss}
 
-    @partial(jax.jit, static_argnums=0)
-    def train_iter(self, ts: RNNTrainState) -> tuple[RNNTrainState, IterOut]:
+    def _train_iter(self, ts: RNNTrainState) -> tuple[RNNTrainState, IterOut]:
         cfg = self.cfg
         # -- phase 1: identical pipeline to recurrent PPO
         vec_state, hidden, obs_rms, scaler, key, roll, (ep_ret, ep_len, ep_done) = (

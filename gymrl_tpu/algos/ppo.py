@@ -153,12 +153,8 @@ class PPOTrainer(Trainer):
                 learning_rate=cfg.lr, eps=cfg.adam_eps
             ),
         )
-        if mesh is not None:
-            self._jit_train_iter = jax.jit(
-                self._train_iter, in_shardings=(self._state_shardings(),)
-            )
-        else:
-            self._jit_train_iter = jax.jit(self._train_iter)
+        # train_iter jitting (shardings + donation) is inherited from
+        # base.Trainer; _in_shardings below supplies the DP×TP layout.
 
     # -- sharding layout ------------------------------------------------------
     def _param_sharding(self, path, leaf):
@@ -230,8 +226,8 @@ class PPOTrainer(Trainer):
             return jnp.argmax(logits, axis=-1).astype(jnp.int32)
         return jax.random.categorical(key, logits).astype(jnp.int32)
 
-    def train_iter(self, ts: PPOTrainState) -> tuple[PPOTrainState, IterOut]:
-        return self._jit_train_iter(ts)
+    def _in_shardings(self):
+        return self._state_shardings() if self.mesh is not None else None
 
     # -- internals ------------------------------------------------------------
     def _norm(self, rms, obs):

@@ -261,8 +261,7 @@ class PPOFullTrainer(Trainer):
             "erc_clip_frac": 1.0 - jnp.mean(erc_mask),
         }
 
-    @partial(jax.jit, static_argnums=0)
-    def train_iter(self, ts: FullTrainState) -> tuple[FullTrainState, IterOut]:
+    def _train_iter(self, ts: FullTrainState) -> tuple[FullTrainState, IterOut]:
         cfg = self.cfg
         vec_state, key, roll, (ep_ret, ep_len, ep_done) = self._collect(ts)
 

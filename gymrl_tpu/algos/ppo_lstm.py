@@ -323,8 +323,7 @@ class PPOLSTMTrainer(Trainer):
         }
 
     # -- fused train iteration ------------------------------------------------
-    @partial(jax.jit, static_argnums=0)
-    def train_iter(self, ts: LSTMTrainState) -> tuple[LSTMTrainState, IterOut]:
+    def _train_iter(self, ts: LSTMTrainState) -> tuple[LSTMTrainState, IterOut]:
         cfg = self.cfg
         vec_state, hidden, key, roll, (ep_ret, ep_len, ep_done) = self._collect(ts)
 

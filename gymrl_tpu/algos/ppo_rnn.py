@@ -367,8 +367,7 @@ class PPORNNTrainer(Trainer):
         return data, cfg.n_train_items
 
     # -- fused train iteration ------------------------------------------------
-    @partial(jax.jit, static_argnums=0)
-    def train_iter(self, ts: RNNTrainState) -> tuple[RNNTrainState, IterOut]:
+    def _train_iter(self, ts: RNNTrainState) -> tuple[RNNTrainState, IterOut]:
         cfg = self.cfg
         vec_state, hidden, obs_rms, scaler, key, roll, (ep_ret, ep_len, ep_done) = (
             self._collect(ts)

@@ -90,8 +90,7 @@ class QLearningTrainer(Trainer):
     def policy(self, ts, obs, key, deterministic: bool = True):
         return jnp.argmax(ts.q_table[obs], axis=-1).astype(jnp.int32)
 
-    @partial(jax.jit, static_argnums=0)
-    def train_iter(self, ts: QLearningTrainState) -> tuple[QLearningTrainState, IterOut]:
+    def _train_iter(self, ts: QLearningTrainState) -> tuple[QLearningTrainState, IterOut]:
         cfg = self.cfg
 
         def env_step(ts: QLearningTrainState, _):

@@ -44,6 +44,9 @@ class TrainLoop:
         eval_episodes: int = 5,
     ):
         self.trainer = trainer
+        # production loop rebinds the state every iteration → donate it so
+        # XLA updates replay/params in place instead of copying per iter
+        trainer.donate = True
         self.algo_name = algo_name
         self.env_name = trainer.venv.env.name
         self.writer = MetricsWriter(algo_name, self.env_name, enabled=log_metrics)

@@ -151,3 +151,32 @@ def test_ddqn_learns_cartpole():
     returns, _ = trainer.eval_episodes(ts, jax.random.PRNGKey(5), 8)
     mean_r = float(np.mean(np.asarray(returns)))
     assert mean_r > 120.0, f"DDQN+PER failed to learn: {mean_r}"
+
+
+def test_noisy_dqn_learns_cartpole():
+    """Bounded CI learning check: per-sample acting noise must drive real
+    exploration (full solve 495.2 @ 1.5M recorded in SOLVE_r2.jsonl)."""
+    cfg = noisy_dqn_config(num_envs=16, steps_per_iter=32, updates_per_step=4,
+                           memory_capacity=16384)
+    trainer = DQNFamilyTrainer(cfg)
+    ts = trainer.init(jax.random.PRNGKey(11))
+    for _ in range(50):
+        ts, _ = trainer.train_iter(ts)
+    returns, _ = trainer.eval_episodes(ts, jax.random.PRNGKey(12), 8)
+    mean_r = float(np.mean(np.asarray(returns)))
+    assert mean_r > 120.0, f"NoisyDQN failed to learn: {mean_r}"
+
+
+def test_rainbow_learns_cartpole():
+    """Bounded CI learning check for the rainbow stack (PER + n-step-5 +
+    noisy heads + soft target + lr decay): μ-only targets per the reference
+    (rainbow_dqn_cartpole.py:281) — noisy targets plateau the run."""
+    cfg = rainbow_config(num_envs=16, steps_per_iter=32, updates_per_step=4,
+                         max_train_steps=50_000)
+    trainer = DQNFamilyTrainer(cfg)
+    ts = trainer.init(jax.random.PRNGKey(13))
+    for _ in range(60):
+        ts, _ = trainer.train_iter(ts)
+    returns, _ = trainer.eval_episodes(ts, jax.random.PRNGKey(14), 8)
+    mean_r = float(np.mean(np.asarray(returns)))
+    assert mean_r > 120.0, f"Rainbow failed to learn: {mean_r}"

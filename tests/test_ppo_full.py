@@ -79,6 +79,21 @@ def test_train_iter_full_tricks():
     assert float(out.metrics["erc_clip_frac"]) < 0.9
 
 
+def test_ppo_full_learns_cartpole():
+    """Bounded CI learning check for the full trick stack (ERC + dual-clip +
+    clip-higher + mHC + anneal together): must clearly beat random. Full
+    LunarLander solve is recorded in SOLVE_r2.jsonl (avg100 202.1 @ 1.08M)."""
+    cfg = small_cfg(num_envs=16, rollout_steps=64, minibatch_size=256,
+                    num_epochs=4, mhc_dim=64, max_train_steps=200_000)
+    trainer = PPOFullTrainer(cfg)
+    ts = trainer.init(jax.random.PRNGKey(3))
+    for _ in range(25):
+        ts, _ = trainer.train_iter(ts)
+    returns, _ = trainer.eval_episodes(ts, jax.random.PRNGKey(4), 6)
+    mean_r = float(np.mean(np.asarray(returns)))
+    assert mean_r > 100.0, f"full-tricks PPO failed to learn: {mean_r}"
+
+
 def test_anneal_moves_lr_and_ent_coef():
     cfg = small_cfg(max_train_steps=8 * 16 * 4)
     trainer = PPOFullTrainer(cfg)
