@@ -98,13 +98,20 @@ class Trainer:
             return None
         from gymrl_tpu.distributed.mesh import offpolicy_state_shardings
 
-        example = self.init(jax.random.PRNGKey(0), _place=False)
+        # Abstract trace only: no real env-reset/param-init compute, and no
+        # dependence on the subclass init() signature (the sharding helpers
+        # read only leaf shapes/ndim).
+        example = jax.eval_shape(self.init, jax.random.PRNGKey(0))
         return offpolicy_state_shardings(self.mesh, example)
 
     def train_iter(self, ts) -> tuple[Any, IterOut]:
-        """Jit `self._train_iter` once per instance, binding shardings and
-        the donation policy at first call."""
-        fn = self.__dict__.get("_jit_train_iter_fn")
+        """Jit `self._train_iter` once per (donate flag), binding shardings
+        and the donation policy at first call. Keyed on ``self.donate`` so a
+        warmup call before TrainLoop flips donate=True doesn't freeze the
+        no-donate compilation (and a determinism check that flips it back
+        doesn't hit donated-buffer errors)."""
+        cache = self.__dict__.setdefault("_jit_train_iter_fns", {})
+        fn = cache.get(self.donate)
         if fn is None:
             kw = {}
             sh = self._in_shardings()
@@ -113,7 +120,7 @@ class Trainer:
             if self.donate:
                 kw["donate_argnums"] = (0,)
             fn = jax.jit(self._train_iter, **kw)
-            self._jit_train_iter_fn = fn
+            cache[self.donate] = fn
         return fn(ts)
 
     def _train_iter(self, ts) -> tuple[Any, IterOut]:

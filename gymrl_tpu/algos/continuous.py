@@ -418,13 +418,17 @@ class TD3Trainer(OffPolicyContinuousTrainer):
             q1, _ = self.critic.apply(critic_params, batch.obs, a)
             return -jnp.mean(q1)
 
+        # The reference leaves the actor optimizer UNTOUCHED between delayed
+        # steps (td3_pendulum.py:216-224: optimizer.step() only inside the
+        # policy_freq branch) — so both the params AND the Adam moments/count
+        # advance only when do_policy; off-steps discard the whole update.
         a_loss, a_grads = jax.value_and_grad(actor_loss)(nets["actor"])
-        a_grads = jax.tree_util.tree_map(
-            lambda g: jnp.where(do_policy, g, jnp.zeros_like(g)), a_grads
-        )
-        a_updates, opt_a = self.tx_actor.update(a_grads, opts["actor"], nets["actor"])
+        a_updates, opt_a_new = self.tx_actor.update(a_grads, opts["actor"], nets["actor"])
         actor_params = jax.tree_util.tree_map(
             lambda p, u: jnp.where(do_policy, p + u, p), nets["actor"], a_updates
+        )
+        opt_a = jax.tree_util.tree_map(
+            lambda new, old: jnp.where(do_policy, new, old), opt_a_new, opts["actor"]
         )
 
         tau_eff = jnp.where(do_policy, cfg.tau, 0.0)

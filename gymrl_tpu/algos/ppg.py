@@ -139,7 +139,7 @@ class PPGTrainer(PPORNNTrainer):
         )
         adv = standardize(adv)
 
-        data, n_seqs = self._training_data(roll, adv, v_target)
+        data, n_seqs, pack_metrics = self._training_data(roll, adv, v_target)
         mb_size = n_seqs // cfg.num_minibatches
 
         def phase1_epoch(carry, k_epoch):
@@ -226,6 +226,7 @@ class PPGTrainer(PPORNNTrainer):
         out = IterOut(
             ep_return=ep_ret, ep_length=ep_len, ep_done=ep_done,
             metrics=jax.tree_util.tree_map(jnp.mean, metrics)
-            | jax.tree_util.tree_map(jnp.mean, aux_metrics),
+            | jax.tree_util.tree_map(jnp.mean, aux_metrics)
+            | pack_metrics,
         )
         return new_ts, out

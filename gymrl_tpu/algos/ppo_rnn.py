@@ -344,7 +344,13 @@ class PPORNNTrainer(Trainer):
             data = dict(packed.data)
             data["h0"] = data.pop("h_pre")[:, 0]
             data["mask"] = packed.active.astype(jnp.float32)
-            return data, cfg.n_train_items
+            # overflow beyond rows_per_env is counted, never silent — surfaced
+            # as a train metric so a mis-sized R shows up in the logs
+            extra = {
+                "dropped_steps": packed.dropped_steps.astype(jnp.float32),
+                "dropped_episodes": packed.dropped_episodes.astype(jnp.float32),
+            }
+            return data, cfg.n_train_items, extra
 
         L = cfg.seq_len
         n_chunks = cfg.rollout_steps // L
@@ -364,7 +370,7 @@ class PPORNNTrainer(Trainer):
             "h0": to_seq(roll.h_pre)[:, 0],  # hidden at each chunk start
         }
         data["mask"] = jnp.ones_like(data["logp"])
-        return data, cfg.n_train_items
+        return data, cfg.n_train_items, {}
 
     # -- fused train iteration ------------------------------------------------
     def _train_iter(self, ts: RNNTrainState) -> tuple[RNNTrainState, IterOut]:
@@ -386,7 +392,7 @@ class PPORNNTrainer(Trainer):
         )
         adv = standardize(adv)
 
-        data, n_seqs = self._training_data(roll, adv, v_target)
+        data, n_seqs, pack_metrics = self._training_data(roll, adv, v_target)
         mb_size = n_seqs // cfg.num_minibatches
 
         def epoch(carry, k_epoch):
@@ -420,7 +426,7 @@ class PPORNNTrainer(Trainer):
         )
         out = IterOut(
             ep_return=ep_ret, ep_length=ep_len, ep_done=ep_done,
-            metrics=jax.tree_util.tree_map(jnp.mean, metrics),
+            metrics=jax.tree_util.tree_map(jnp.mean, metrics) | pack_metrics,
         )
         return new_ts, out
 

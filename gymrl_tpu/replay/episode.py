@@ -28,6 +28,11 @@ class EpisodeBufferState(NamedTuple):
     lengths: jax.Array  # i32[n_episodes]
     ep_index: jax.Array  # i32[] — episode currently being written
     full: jax.Array  # bool[] — all episode rows filled
+    # pack-mode overflow accounting ("no silent caps"): steps/episode-segments
+    # beyond rows_per_env discarded by episode_buffer_pack. Always 0 for the
+    # sequential store path (it wraps rows instead of dropping).
+    dropped_steps: jax.Array = jnp.zeros((), jnp.int32)
+    dropped_episodes: jax.Array = jnp.zeros((), jnp.int32)
 
 
 def episode_buffer_init(example: Any, n_episodes: int, max_steps: int) -> EpisodeBufferState:
@@ -77,10 +82,13 @@ def episode_buffer_pack(data: Any, done, rows_per_env: int) -> EpisodeBufferStat
     with an ``active`` mask over its valid steps. One gather-free scatter
     instead of T·B sequential dynamic writes.
 
-    Each env column contributes up to ``rows_per_env`` rows (episodes beyond
-    that are dropped — callers size R generously); the row order within a
-    column is episode order, so row ``b·R`` is column b's first (possibly
-    mid-episode continuation) segment.
+    Each env column contributes up to ``rows_per_env`` rows; the row order
+    within a column is episode order, so row ``b·R`` is column b's first
+    (possibly mid-episode continuation) segment. Episode segments beyond R
+    are dropped, and the drop is COUNTED: the returned state carries
+    ``dropped_steps`` / ``dropped_episodes`` so callers can surface the loss
+    as a train metric instead of silently biasing toward each window's
+    earliest episodes.
 
     done: [T, B] — episode boundary AFTER step t (terminated|truncated).
     Returns rows for ``n_rows = B·rows_per_env`` episodes.
@@ -108,12 +116,15 @@ def episode_buffer_pack(data: Any, done, rows_per_env: int) -> EpisodeBufferStat
         return out.at[row, step_in_ep].set(x)[:n_rows]
 
     active = jnp.zeros((n_rows + 1, T), bool).at[row, step_in_ep].set(valid)[:n_rows]
+    n_segments = ep_id[-1] + 1  # [B] — segments started in each column
     return EpisodeBufferState(
         data=jax.tree_util.tree_map(scatter, data),
         active=active,
         lengths=jnp.sum(active.astype(jnp.int32), axis=1),
         ep_index=jnp.zeros((), jnp.int32),
         full=jnp.asarray(True),
+        dropped_steps=jnp.sum(jnp.logical_not(valid).astype(jnp.int32)),
+        dropped_episodes=jnp.sum(jnp.maximum(n_segments - R, 0)),
     )
 
 

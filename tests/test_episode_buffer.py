@@ -103,3 +103,47 @@ def test_episode_buffer_pack_overflow_rows_dropped():
                              done, rows_per_env=2)
     np.testing.assert_array_equal(np.asarray(st.lengths), [1, 1])
     np.testing.assert_allclose(np.asarray(st.data["x"][:, 0]), [0.0, 1.0])
+    # the 4 discarded episodes are COUNTED, not silent
+    assert int(st.dropped_episodes) == 4
+    assert int(st.dropped_steps) == 4
+
+
+def test_episode_buffer_pack_short_episode_overflow_counted():
+    """Worst case from VERDICT r2: short episodes overflowing rows_per_env
+    (T=128, ~10-step episodes, R=8 → 12-13 segments per column) must report
+    exact drop counts, and no drop when R is sized to fit."""
+    from gymrl_tpu.replay.episode import episode_buffer_pack
+
+    T, B, ep_len = 128, 4, 10
+    done = jnp.zeros((T, B))
+    done = done.at[ep_len - 1 :: ep_len, :].set(1.0)  # dones at t=9,19,...,119
+    x = jnp.zeros((T, B))
+
+    st = episode_buffer_pack({"x": x}, done, rows_per_env=8)
+    # 12 full episodes + 1 open 8-step tail per column; 8 kept → 5 segments
+    # dropped per column, 4·ep_len + 8 steps dropped per column
+    assert int(st.dropped_episodes) == B * 5
+    assert int(st.dropped_steps) == B * (4 * ep_len + 8)
+    assert int(jnp.sum(st.active)) == B * 8 * ep_len
+
+    st_ok = episode_buffer_pack({"x": x}, done, rows_per_env=13)
+    assert int(st_ok.dropped_episodes) == 0
+    assert int(st_ok.dropped_steps) == 0
+    assert int(jnp.sum(st_ok.active)) == T * B
+
+
+def test_ppo_rnn_whole_episode_surfaces_drop_metric():
+    """The whole-episode BPTT trainer exposes dropped_steps/episodes in its
+    per-iter metrics (replay/episode.py pack overflow accounting)."""
+    from gymrl_tpu.algos.ppo_rnn import PPORNNConfig, PPORNNTrainer
+
+    cfg = PPORNNConfig(
+        env_name="CartPole-v1", num_envs=4, rollout_steps=16, seq_len=4,
+        num_epochs=1, seq_minibatch=4, whole_episode_bptt=True,
+        episode_rows_per_env=2,
+    )
+    tr = PPORNNTrainer(cfg)
+    ts = tr.init(jax.random.PRNGKey(0))
+    _, out = tr.train_iter(ts)
+    assert "dropped_steps" in out.metrics and "dropped_episodes" in out.metrics
+    assert float(out.metrics["dropped_steps"]) >= 0.0

@@ -39,13 +39,26 @@ def test_lr_anneal_progresses():
 
 
 def test_update_count_matches_reference_cadence():
-    """T·B/minibatch × epochs gradient steps per iteration (ref: 2048/64×10)."""
+    """T·B/minibatch × epochs GRADIENT STEPS per iteration (ref semantics:
+    ppo_lunarlander.py:261-272 — 10 epochs × 2048/64 minibatches). Counted
+    from the Adam step counter of the actual jitted program, not config
+    arithmetic."""
+    import optax.tree_utils as otu
+
+    def grad_steps(opt_state):
+        counts = {int(v) for _, v in otu.tree_get_all_with_path(opt_state, "count")}
+        assert len(counts) == 1  # every step counter in the chain agrees
+        return counts.pop()
+
     cfg = small_cfg()
     trainer = PPOTrainer(cfg)
     ts = trainer.init(jax.random.PRNGKey(0))
-    _, out = trainer.train_iter(ts)
-    # metrics come back [num_epochs, num_minibatches]-averaged; check config math
-    assert cfg.num_minibatches == (8 * 32) // 64 == 4
+    assert grad_steps(ts.opt_state) == 0
+    ts, _ = trainer.train_iter(ts)
+    applied = grad_steps(ts.opt_state)
+    assert applied == cfg.num_epochs * cfg.num_minibatches == 4 * ((8 * 32) // 64)
+    ts, _ = trainer.train_iter(ts)
+    assert grad_steps(ts.opt_state) == 2 * applied
 
 
 def test_ppo_learns_cartpole():
