@@ -48,12 +48,14 @@ def build(name):
         from gymrl_tpu.algos.ppo_lstm import PPOLSTMConfig, PPOLSTMTrainer
         return PPOLSTMTrainer(PPOLSTMConfig()), 200.0
     if name == "ppg_rnn_lunarlander":
-        from gymrl_tpu.algos.ppg import PPGConfig, PPGTrainer
-        return PPGTrainer(PPGConfig(max_train_steps=10_000_000)), 200.0
-    if name == "ppg_we_lunarlander":  # whole-episode BPTT (exact ref semantics)
-        from gymrl_tpu.algos.ppg import PPGConfig, PPGTrainer
-        cfg = PPGConfig(max_train_steps=10_000_000, whole_episode_bptt=True,
-                        episode_rows_per_env=8, seq_minibatch=64)
+        # canonical shipped config (whole-episode BPTT + canonical-PPG aux;
+        # see gymrl_tpu/algos/ppg.py docstring + ABLATION_ppg_r3.json)
+        from gymrl_tpu.algos.ppg import PPGTrainer, ppg_rnn_lunarlander_config
+        return PPGTrainer(ppg_rnn_lunarlander_config(max_train_steps=3_000_000)), 200.0
+    if name == "ppg_ref_lunarlander":  # reference aux semantics (behavior clone, every update)
+        from gymrl_tpu.algos.ppg import PPGTrainer, ppg_rnn_lunarlander_config
+        cfg = ppg_rnn_lunarlander_config(max_train_steps=10_000_000,
+                                         clone_target="behavior", aux_every=1)
         return PPGTrainer(cfg), 200.0
     if name == "ppo_rnn_lunarlander":
         from gymrl_tpu.algos.ppo_rnn import PPORNNTrainer, ppo_rnn_lunarlander_config

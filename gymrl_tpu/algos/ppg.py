@@ -16,12 +16,20 @@ appends the phase-2 scan after the inherited phase-1 logic.
 
 Documented deviation (defaults): the reference's aux phase (behavior-logp
 MSE clone, run every update) plateaus at vectorized scale — avg100 ~50 on
-LunarLander after 10M env-steps, vs 360k steps to solve with the aux phase
-disabled (ablations recorded 2026-08-20; the reference's own script was
-still at avg100 ≈ -130 after 270 episodes when sampled). Defaults follow
-canonical PPG (Cobbe et al. 2020): KL clone to the post-policy-phase
-distribution, aux every 8 policy phases — solves at 471k steps. Set
-``clone_target="behavior", aux_every=1`` for reference-exact semantics.
+LunarLander after 10M env-steps (SOLVE_r2.jsonl ppg entries), vs 360k
+steps to solve with the aux phase disabled. The canonical workload config
+(``ppg_rnn_lunarlander_config``) therefore follows canonical PPG (Cobbe
+et al. 2020): KL clone to the post-policy-phase distribution, aux every 8
+policy phases, whole-episode BPTT — solved at 471k env-steps
+(benchmarks/artifacts/r2_logs/ppg_current8.log; re-recorded in
+SOLVE_r3.jsonl). Committed evidence: ABLATION_ppg_r3.json (grid over
+clone target × aux cadence × scale, benchmarks/ablate_ppg.py) and
+benchmarks/artifacts/ — including a long run of the reference's OWN
+script, which sits at avg100 ≈ −79 after 1260 episodes (~3.5 h CPU),
+nowhere near its avg100 ≥ 200 bar (ppg_rnn_lunarlander.py:493), so the
+reference semantics are not a working recipe to match in the first
+place. ``clone_target="behavior", aux_every=1`` remains available for
+reference-exact semantics.
 """
 
 from __future__ import annotations
@@ -53,14 +61,14 @@ class PPGConfig(PPORNNConfig):
     # Aux-phase behavior. The reference anchors the clone loss to the
     # BEHAVIOR policy's logp and runs the aux phase every update
     # (ppg_rnn_lunarlander.py:372-393) — at vectorized scale this drags the
-    # policy back toward pre-update and the run plateaus (ablation evidence,
-    # SOLVE_r2.jsonl + /tmp ablation logs: behavior-clone plateaus at avg100
-    # ~50 on LunarLander @ 10M steps while aux_epochs=0 solves at 360k).
+    # policy back toward pre-update and the run plateaus (committed
+    # evidence: SOLVE_r2.jsonl behavior-clone entries avg100 ~50 @ 10M
+    # steps; ABLATION_ppg_r3.json; benchmarks/artifacts/r2_logs/).
     # Canonical PPG (Cobbe et al. 2020) anchors to the CURRENT
     # (post-policy-phase) distribution via full KL and runs aux only every
-    # N_pi policy phases — with these defaults the workload solves at 471k
-    # steps (avg100 204.3). Reference-exact semantics remain available via
-    # clone_target="behavior", aux_every=1.
+    # N_pi policy phases — the canonical workload config solves at 471k
+    # steps (avg100 204.3, ppg_current8.log). Reference-exact semantics
+    # remain available via clone_target="behavior", aux_every=1.
     clone_target: str = "current"  # "current" (canonical) | "behavior" (ref)
     aux_every: int = 8  # run the aux phase every N train iterations (N_pi)
 
@@ -230,3 +238,15 @@ class PPGTrainer(PPORNNTrainer):
             | pack_metrics,
         )
         return new_ts, out
+
+
+def ppg_rnn_lunarlander_config(**kw) -> PPGConfig:
+    """Canonical PPG workload config — whole-episode BPTT (matching
+    ppo_rnn_lunarlander_config) with the canonical-PPG aux defaults
+    (clone_target='current', aux_every=8). Solved LunarLander at 471k
+    env-steps (benchmarks/artifacts/r2_logs/ppg_current8.log; ablation
+    grid in ABLATION_ppg_r3.json)."""
+    base = dict(env_name="LunarLander-v3", whole_episode_bptt=True,
+                episode_rows_per_env=8, seq_minibatch=64)
+    base.update(kw)
+    return PPGConfig(**base)

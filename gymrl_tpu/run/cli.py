@@ -106,8 +106,8 @@ def _ppo_lstm_lunarlander():
 
 
 def _ppg_rnn_lunarlander():
-    from gymrl_tpu.algos.ppg import PPGConfig, PPGTrainer
-    return PPGTrainer(PPGConfig()), "PPG_RNN", 200.0
+    from gymrl_tpu.algos.ppg import PPGTrainer, ppg_rnn_lunarlander_config
+    return PPGTrainer(ppg_rnn_lunarlander_config()), "PPG_RNN", 200.0
 
 
 def _noisy_dqn_flappybird():
