@@ -1,0 +1,90 @@
+"""Bounded learning-curve records for workloads without a solve threshold
+(VERDICT r2 item 5 — the evidence-free workloads).
+
+The reference's acceptance for these is "the curve climbs":
+  * noisy_dqn_flappybird / ppo_rnn_flappybird — reward/score rises over
+    training (algorithms/noisy_dqn_flappybird.py:466-516 prints the same
+    Episode|Reward|Avg lines; no threshold)
+  * dqn_cartpole_pixels — framework-only workload (conv pipeline), judged
+    by the CartPole avg100 climbing
+
+Each run records the (env_steps, avg100) curve from TrainLoop and a
+verdict `climbed` = final avg100 beats the first recorded point by the
+workload margin.
+
+    python benchmarks/curves.py [--out FILE] [--seed N] [workload ...]
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+
+def build(name):
+    if name == "noisy_dqn_flappybird":
+        from gymrl_tpu.algos.dqn_variants import (
+            DQNFamilyTrainer,
+            noisy_dqn_flappybird_config,
+        )
+        cfg = noisy_dqn_flappybird_config(
+            num_envs=64, steps_per_iter=64, updates_per_step=8,
+            max_train_steps=2_000_000,
+        )
+        return DQNFamilyTrainer(cfg), None, 2.0  # margin: avg100 reward
+    if name == "ppo_rnn_flappybird":
+        from gymrl_tpu.algos.ppo_rnn import PPORNNTrainer, ppo_rnn_flappybird_config
+        cfg = ppo_rnn_flappybird_config(max_train_steps=2_000_000)
+        return PPORNNTrainer(cfg), None, 2.0
+    if name == "dqn_cartpole_pixels":
+        from gymrl_tpu.algos.dqn_variants import DQNFamilyTrainer, dqn_pixels_config
+        cfg = dqn_pixels_config(max_train_steps=1_000_000)
+        return DQNFamilyTrainer(cfg), 495.0, 50.0
+    raise KeyError(name)
+
+
+def main(argv):
+    from gymrl_tpu.run.loop import TrainLoop
+
+    out_path = None
+    seed = 0
+    names = []
+    it = iter(argv)
+    for a in it:
+        if a == "--out":
+            out_path = next(it)
+        elif a == "--seed":
+            seed = int(next(it))
+        else:
+            names.append(a)
+
+    for name in names or ["noisy_dqn_flappybird", "ppo_rnn_flappybird",
+                          "dqn_cartpole_pixels"]:
+        trainer, threshold, margin = build(name)
+        loop = TrainLoop(trainer, f"curve_{name}", log_metrics=False, log_every=50)
+        t0 = time.time()
+        _, stats = loop.train(trainer.cfg.max_train_steps,
+                              solve_threshold=threshold, seed=seed)
+        curve = stats["curve"]
+        first = next((a for _, a in curve if a == a), float("nan"))  # first non-nan
+        final = stats["avg100"]
+        line = json.dumps({
+            "workload": name,
+            "climbed": bool(final == final and final >= first + margin),
+            "first_avg100": round(first, 1) if first == first else None,
+            "final_avg100": round(final, 1) if final == final else None,
+            "solved": stats["solved"],
+            "env_steps": stats["env_steps"],
+            "wall_s": round(time.time() - t0, 1),
+            "seed": seed,
+            "curve": curve[:: max(1, len(curve) // 40)],  # ≤~40 points
+        })
+        print(line, flush=True)
+        if out_path:
+            with open(out_path, "a") as f:
+                f.write(line + "\n")
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

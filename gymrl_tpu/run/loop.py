@@ -77,6 +77,7 @@ class TrainLoop:
                     logger.warning(f"checkpoint restore failed ({e}); training from scratch")
 
         window: deque = deque(maxlen=100)
+        curve: list = []  # (env_steps, avg100) at each console-log point
         episodes = 0
         iters = 0
         next_eval = self.eval_every or float("inf")
@@ -99,6 +100,7 @@ class TrainLoop:
                 env_steps = int(ts.env_steps)
                 if iters % self.log_every == 0:
                     avg = float(np.mean(window)) if window else float("nan")
+                    curve.append((env_steps, round(avg, 1)))
                     last = window[-1] if window else float("nan")
                     sps = (env_steps - steps0) / max(time.time() - t0, 1e-9)
                     metrics = {k: float(v) for k, v in out.metrics.items()}
@@ -140,6 +142,7 @@ class TrainLoop:
             "avg100": float(np.mean(window)) if window else float("nan"),
             "solved": solved,
             "wall_s": time.time() - t0,
+            "curve": curve,
         }
 
     # -- evaluation -----------------------------------------------------------
