@@ -343,20 +343,36 @@ class PPOTrainer(Trainer):
 
         def epoch(carry, k_epoch):
             params, opt_state = carry
+            # One shuffle gather per epoch, then contiguous minibatch slices
+            # via scan-over-leading-axis — identical sample groups/order to
+            # per-minibatch index gathers, but HBM reads stay sequential
+            # instead of 524k-row random gathers per minibatch.
             perm = jax.random.permutation(k_epoch, cfg.batch_total)
-            perm = perm.reshape(cfg.num_minibatches, cfg.minibatch_size)
 
-            def minibatch(carry, idx):
+            def to_mb(x):
+                return x[perm].reshape(
+                    (cfg.num_minibatches, cfg.minibatch_size) + x.shape[1:]
+                )
+
+            mb_xs = (
+                jax.tree_util.tree_map(to_mb, flat),
+                to_mb(adv_flat),
+                to_mb(ret_flat),
+            )
+
+            def minibatch(carry, mb):
                 params, opt_state = carry
-                mb = jax.tree_util.tree_map(lambda x: x[idx], flat)
+                batch, adv_mb, ret_mb = mb
                 (loss, metrics), grads = jax.value_and_grad(self._loss, has_aux=True)(
-                    params, mb, adv_flat[idx], ret_flat[idx]
+                    params, batch, adv_mb, ret_mb
                 )
                 updates, opt_state = self.tx.update(grads, opt_state, params)
                 params = optax.apply_updates(params, updates)
                 return (params, opt_state), metrics
 
-            (params, opt_state), metrics = jax.lax.scan(minibatch, (params, opt_state), perm)
+            (params, opt_state), metrics = jax.lax.scan(
+                minibatch, (params, opt_state), mb_xs
+            )
             return (params, opt_state), metrics
 
         key, k_epochs = jax.random.split(key)
