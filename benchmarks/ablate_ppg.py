@@ -46,9 +46,14 @@ CELLS = {
     "current_every1": dict(_WE, clone_target="current", aux_every=1),
     # reference semantics at REFERENCE scale: 4 envs, whole-episode BPTT,
     # aux every update — the vectorized equivalent of the reference's
-    # 4-episode-buffer update loop (ppg_rnn_lunarlander.py:446-447)
+    # 4-episode-buffer update loop (ppg_rnn_lunarlander.py:446-447).
+    # Budget: the reference's OWN script run (benchmarks/artifacts/
+    # refppg_run.log) is at avg100 ≈ −76 after ~140k env-steps / 3.5 h CPU
+    # and nowhere near solving, so this cell's job is trajectory
+    # comparison against that log, not a solve — 600k steps (>4× the
+    # reference log's horizon) bounds it.
     "ref_scale_exact": dict(
-        max_train_steps=3_000_000,
+        max_train_steps=600_000,
         num_envs=4,
         rollout_steps=512,
         whole_episode_bptt=True,
