@@ -79,6 +79,14 @@ class PPOConfig:
     # on a real TPU backend; ignored under any mesh (no GSPMD rule for
     # pallas_call) and on CPU (interpret emulation would be slower).
     use_pallas: bool = False
+    # bf16 matmuls on the (no-grad) rollout forward: params+obs cast to
+    # bfloat16, logits/values upcast to f32 before sampling/GAE. Doubles
+    # MXU rate and halves weight HBM traffic on the acting path; the SGD
+    # update stays fully fp32 so training numerics are unchanged except the
+    # stored behavior-logp, which differs from the fp32 recompute by bf16
+    # rounding (~1e-2 relative on logits — inside PPO's clip band).
+    # Off by default: opt-in for throughput runs (bench A/B).
+    rollout_bf16: bool = False
 
     @property
     def batch_total(self) -> int:
@@ -249,6 +257,11 @@ class PPOTrainer(Trainer):
             from gymrl_tpu.ops import fused_policy_forward
 
             return fused_policy_forward(params, obs)
+        if self.cfg.rollout_bf16:
+            bf16 = jnp.bfloat16
+            params = jax.tree_util.tree_map(lambda p: p.astype(bf16), params)
+            logits, value = self.net.apply(params, obs.astype(bf16))
+            return logits.astype(jnp.float32), value.astype(jnp.float32)
         return self.net.apply(params, obs)
 
     def _collect(self, ts: PPOTrainState):
