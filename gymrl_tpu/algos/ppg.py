@@ -25,10 +25,10 @@ policy phases, whole-episode BPTT — solved at 471k env-steps
 SOLVE_r3.jsonl). Committed evidence: ABLATION_ppg_r3.json (grid over
 clone target × aux cadence × scale, benchmarks/ablate_ppg.py) and
 benchmarks/artifacts/ — including a long run of the reference's OWN
-script, which sits at avg100 ≈ −79 after 1260 episodes (~3.5 h CPU),
-nowhere near its avg100 ≥ 200 bar (ppg_rnn_lunarlander.py:493), so the
-reference semantics are not a working recipe to match in the first
-place. ``clone_target="behavior", aux_every=1`` remains available for
+script (refppg_run.log), which sits at avg100 ≈ −76 after 1288 episodes
+(~3.5 h CPU), nowhere near its avg100 ≥ 200 bar
+(ppg_rnn_lunarlander.py:493), so the reference semantics are not a
+working recipe to match in the first place. ``clone_target="behavior", aux_every=1`` remains available for
 reference-exact semantics.
 """
 
