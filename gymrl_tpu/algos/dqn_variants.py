@@ -626,7 +626,18 @@ def dqn_pixels_config(**kw) -> DQNFamilyConfig:
 
 
 def rainbow_config(**kw) -> DQNFamilyConfig:
-    """algorithms/rainbow_dqn_cartpole.py hyperparameters."""
+    """algorithms/rainbow_dqn_cartpole.py hyperparameters.
+
+    Acceptance status (round 3, committed evidence): the reference's OWN
+    script run to its full 500-episode budget finishes at avg100 228.5 —
+    far from its in-code 495 bar (benchmarks/artifacts/refrainbow_run.log);
+    this trainer at reference-exact 1:1 update ratio and 250k budget lands
+    at 232.6 (ABLATION_rainbow_r3.json ratio_1to1_250k) — curve parity.
+    The cap is the reference's γ=0.9 (alone among its CartPole scripts):
+    the single deviation gamma=0.99 solves at 524k steps (avg100 495.6,
+    cell gamma_99), while removing n-step/noisy/PER-shape deltas does not.
+    Defaults stay reference-exact; pass gamma=0.99 to reproduce the solve.
+    """
     base = dict(
         gamma=0.9, batch_size=256, memory_capacity=32768, double=True,
         dueling=True, noisy_trunk=False, noisy_heads=True, trunk_layers=2,
