@@ -41,7 +41,6 @@ def main():
     ap.add_argument("--num-envs", type=int, default=8192)
     ap.add_argument("--rollout-steps", type=int, default=64)
     ap.add_argument("--trace", type=str, default=None)
-    ap.add_argument("--use-pallas", action="store_true")
     args = ap.parse_args()
 
     from gymrl_tpu.algos.ppo import PPOConfig, PPOTrainer
@@ -53,7 +52,6 @@ def main():
         rollout_steps=args.rollout_steps,
         minibatch_size=16384,
         num_epochs=4,
-        use_pallas=args.use_pallas,
     )
     trainer = PPOTrainer(cfg)
     ts = trainer.init(jax.random.PRNGKey(0))
@@ -137,7 +135,6 @@ def main():
         "backend": jax.default_backend(),
         "num_envs": cfg.num_envs,
         "rollout_steps": cfg.rollout_steps,
-        "use_pallas": cfg.use_pallas,
         "ms_rollout": round(ms_rollout, 1),
         "ms_bootstrap_gae": round(ms_gae, 1),
         "ms_sgd_epochs": round(ms_sgd, 1),

@@ -5,14 +5,17 @@ succession (CLAUDE.md "Environment gotchas"); batching every measurement
 into a single long-lived client avoids reconnects. Prints one JSON line
 per result as it goes, so partial progress survives a wedge mid-queue.
 
-    python benchmarks/tpu_session.py [--skip-pallas] [--skip-bf16] [--skip-profile]
+    python benchmarks/tpu_session.py [--skip-bf16] [--skip-profile]
 """
 
 from __future__ import annotations
 
 import json
+import pathlib
 import sys
 import time
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
 
 import jax
 import jax.numpy as jnp
@@ -132,8 +135,6 @@ def main(argv):
     print(json.dumps({"arm": "backend", "backend": jax.default_backend(),
                       "devices": str(jax.devices())}), flush=True)
     bench_arm("baseline")
-    if "--skip-pallas" not in argv:
-        bench_arm("pallas", use_pallas=True)
     if "--skip-bf16" not in argv:
         bench_arm("bf16", rollout_bf16=True)
     if "--skip-profile" not in argv:

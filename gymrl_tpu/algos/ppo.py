@@ -74,11 +74,12 @@ class PPOConfig:
     normalize_obs: bool = False  # plain PPO matches ref (no state_norm)
     max_train_steps: int = 1_000_000
     solve_threshold: float = 200.0
-    # Fused Pallas actor-critic forward on the rollout path (inference-only
-    # so autodiff in the update is untouched). Takes effect only single-chip
-    # on a real TPU backend; ignored under any mesh (no GSPMD rule for
-    # pallas_call) and on CPU (interpret emulation would be slower).
-    use_pallas: bool = False
+    # (History: a fused Pallas actor-critic forward lived on this path
+    # through round 3 and was removed after losing its A/B — 1.281M vs
+    # 1.362M steps/s at bench scale on TPU v5e, PALLAS_AB_r3.json. At
+    # these layer widths XLA's own fusion of the scan-step forward is
+    # already HBM-optimal and the per-step pallas_call only added
+    # dispatch/tiling overhead; a hand kernel needs a fatter op to win.)
     # bf16 matmuls on the (no-grad) rollout forward: params+obs cast to
     # bfloat16, logits/values upcast to f32 before sampling/GAE. Doubles
     # MXU rate and halves weight HBM traffic on the acting path; the SGD
@@ -242,21 +243,7 @@ class PPOTrainer(Trainer):
         return normalize_obs(rms, obs) if self.cfg.normalize_obs else obs
 
     def _rollout_forward(self, params, obs):
-        """Policy forward on the (no-grad) rollout path. Dispatches to the
-        fused Pallas kernel only when (a) enabled, (b) running single-chip
-        (pallas_call has no GSPMD partitioning rule, so under any mesh —
-        data OR model axis — XLA would gather the sharded batch onto every
-        chip), and (c) the backend really is TPU (interpret-mode emulation
-        on CPU is far slower than net.apply; tests exercise the kernel
-        directly with interpret=True)."""
-        if (
-            self.cfg.use_pallas
-            and self.mesh is None
-            and jax.default_backend() == "tpu"
-        ):
-            from gymrl_tpu.ops import fused_policy_forward
-
-            return fused_policy_forward(params, obs)
+        """Policy forward on the (no-grad) rollout path."""
         if self.cfg.rollout_bf16:
             bf16 = jnp.bfloat16
             params = jax.tree_util.tree_map(lambda p: p.astype(bf16), params)
