@@ -19,6 +19,8 @@ env_steps, avg100, wall_s, seed}.
 
 from __future__ import annotations
 
+import sys, pathlib; sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+
 import json
 import sys
 

@@ -14,6 +14,8 @@ time to locate what caps the curve.
 
 from __future__ import annotations
 
+import sys, pathlib; sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+
 import json
 import sys
 import time

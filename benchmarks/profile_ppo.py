@@ -18,6 +18,8 @@ Prints one JSON line with ms per phase and the steps/s implied by full.
 
 from __future__ import annotations
 
+import sys, pathlib; sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+
 import argparse
 import json
 import time

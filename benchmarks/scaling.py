@@ -12,6 +12,8 @@ exercises the same code on virtual CPU devices:
 
 from __future__ import annotations
 
+import sys, pathlib; sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+
 import argparse
 import json
 import time

@@ -15,6 +15,8 @@ One JSON line per workload (appended to --out if given):
 
 from __future__ import annotations
 
+import sys, pathlib; sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+
 import json
 import sys
 

@@ -1,4 +1,6 @@
 """Quick throughput sweep over num_envs for the PPO bench config."""
+
+import sys, pathlib; sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
 import json
 import sys
 import time

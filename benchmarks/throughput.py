@@ -7,6 +7,8 @@ driver-facing single-line benchmark; this file is the broader matrix.
 
 from __future__ import annotations
 
+import sys, pathlib; sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+
 import json
 import sys
 import time
