@@ -118,6 +118,11 @@ def _leg_corners() -> np.ndarray:
 LEG_PTS = _leg_corners()  # [4, 2]; rows 0-1 = +x leg, 2-3 = -x leg
 
 CONTACT_FRICTION = float(np.sqrt(0.1 * 0.2))  # Box2D mixes √(ground·leg)
+# Gauss-Seidel velocity-solve sweeps over the 4 leg corners. Box2D runs
+# gymnasium's world.Step with 6·30=180 velocity iterations; 10 sweeps
+# already converge the 4-point problem (landing-distribution oracle tests
+# pass). Module-level so profiling harnesses can vary it.
+SOLVER_SWEEPS = 10
 BAUMGARTE = 0.2
 LINEAR_SLOP = 0.005
 SLEEP_LIN_TOL = 0.01  # m/s (b2_linearSleepTolerance)
@@ -397,7 +402,7 @@ class LunarLander(Env):
             # which starves the +100 landing reward off-pad.
             acc_n = [jnp.zeros(()) for _ in range(LEG_PTS.shape[0])]
             acc_t = [jnp.zeros(()) for _ in range(LEG_PTS.shape[0])]
-            for _ in range(10):  # 10 GS sweeps × 4 points, unrolled
+            for _ in range(SOLVER_SWEEPS):  # GS sweeps × 4 points, unrolled
                 for i in range(LEG_PTS.shape[0]):
                     n = n_vec[i]
                     r = r_pts[i]
