@@ -14,16 +14,20 @@ Implementation: subclass of PPORNNTrainer — the net gains the aux head
 (ignored by phase 1 through the `_apply_cell` hook), and `train_iter`
 appends the phase-2 scan after the inherited phase-1 logic.
 
-Documented deviation (defaults): the reference's aux phase (behavior-logp
-MSE clone, run every update) plateaus at vectorized scale — avg100 ~50 on
-LunarLander after 10M env-steps (SOLVE_r2.jsonl ppg entries), vs 360k
-steps to solve with the aux phase disabled. The canonical workload config
+Documented deviation (defaults): the reference's aux phase — behavior-logp
+MSE clone run EVERY update — is the one combination that never learns:
+the full grid (ABLATION_ppg_r3.json, benchmarks/ablate_ppg.py) shows
+clone-to-current solves at either cadence (471k @ every-8, 463k @
+every-1), behavior-clone at every-8 solves too (508k), but
+behavior-clone × every-update plateaus at avg100 ~50-65 — at vectorized
+scale (1.5M cap here; 10M in SOLVE_r2.jsonl) AND at reference scale
+(num_envs=4, whole-episode, 600k: avg100 48.7), so it is not a
+vectorization artifact. The canonical workload config
 (``ppg_rnn_lunarlander_config``) therefore follows canonical PPG (Cobbe
 et al. 2020): KL clone to the post-policy-phase distribution, aux every 8
-policy phases, whole-episode BPTT — solved at 471k env-steps
-(benchmarks/artifacts/r2_logs/ppg_current8.log; re-recorded in
-SOLVE_r3.jsonl). Committed evidence: ABLATION_ppg_r3.json (grid over
-clone target × aux cadence × scale, benchmarks/ablate_ppg.py) and
+policy phases, whole-episode BPTT — solved at 471k env-steps (seed 0)
+and 614k (seed 1 replication, SOLVE_r3.jsonl). Committed evidence:
+ABLATION_ppg_r3.json and
 benchmarks/artifacts/ — including a long run of the reference's OWN
 script (refppg_run.log), which sits at avg100 ≈ −76 after 1288 episodes
 (~3.5 h CPU), nowhere near its avg100 ≥ 200 bar
