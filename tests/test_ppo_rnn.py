@@ -130,7 +130,7 @@ def test_whole_episode_h0_semantics():
         roll.reward, roll.value, roll.value, roll.terminated, roll.done,
         cfg.gamma, cfg.gae_lambda,
     )
-    data, n = trainer._training_data(roll, standardize(adv), v_target)
+    data, n, _pack_metrics = trainer._training_data(roll, standardize(adv), v_target)
     assert n == 2 * 4
     h0 = np.asarray(data["h0"])
     mask = np.asarray(data["mask"])
