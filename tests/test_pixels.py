@@ -63,6 +63,27 @@ def test_pixel_vec_env_autoreset():
     assert np.isfinite(np.asarray(tr.reward)).all()
 
 
+def test_conv_dqn_learns_cartpole_pixels():
+    """Bounded CI learning check for the conv path (VERDICT r2 item 5):
+    20k env-steps of pixel DQN must beat the untrained-policy eval (~9)
+    by a clear margin. Calibration (CPU, seed 7): eval 9.5 @ 5k steps →
+    42.6 @ 20k; full-budget runs reach avg100 ~130 @ 1M (CURVES_r3.jsonl).
+    """
+    import numpy as np
+    from gymrl_tpu.algos.dqn_variants import DQNFamilyTrainer, dqn_pixels_config
+
+    cfg = dqn_pixels_config(num_envs=16, steps_per_iter=32, batch_size=64,
+                            memory_capacity=4096, updates_per_step=4, lr=1e-3,
+                            epsilon_decay=4000.0)
+    tr = DQNFamilyTrainer(cfg)
+    ts = tr.init(jax.random.PRNGKey(7))
+    for _ in range(40):
+        ts, _ = tr.train_iter(ts)
+    rets, _ = tr.eval_episodes(ts, jax.random.PRNGKey(39), 8)
+    mean_r = float(np.mean(np.asarray(rets)))
+    assert mean_r > 25.0, f"conv DQN failed to learn from pixels: {mean_r}"
+
+
 def test_conv_dqn_train_iter_runs():
     from gymrl_tpu.algos.dqn_variants import DQNFamilyTrainer, dqn_pixels_config
 
