@@ -157,24 +157,40 @@ def _rot(angle):
     return jnp.array([[c, -s], [s, c]])
 
 
-def _terrain_height(terrain: jax.Array, x: jax.Array) -> jax.Array:
-    """Piecewise-linear ground height at world x (chunk_x[i] = W/(CHUNKS-1)·i).
+def _segment_lookup(terrain: jax.Array, x: jax.Array):
+    """(t0, t1, frac) of the terrain segment under world x.
 
-    Accepts scalar or vector ``x`` (gather-indexed, no vmap wrapper needed).
+    Uses a one-hot contraction over the CHUNKS axis instead of a dynamic
+    gather: under vmap, `terrain[i0]` lowers to a per-env gather, which on
+    TPU is an order of magnitude slower than an 11-wide masked reduction
+    (the gathers were ~40% of the whole rollout phase — PROFILE_r3.md).
+    Bit-identical to the indexed form.
     """
     dx = W / (CHUNKS - 1)
     xi = jnp.clip(x / dx, 0.0, CHUNKS - 1 - 1e-6)
     i0 = jnp.floor(xi).astype(jnp.int32)
     frac = xi - i0
-    return terrain[i0] * (1.0 - frac) + terrain[i0 + 1] * frac
+    idx = jnp.arange(CHUNKS, dtype=jnp.int32)
+    onehot = (idx == i0[..., None]).astype(terrain.dtype)  # [..., CHUNKS]
+    t0 = jnp.sum(terrain * onehot, axis=-1)
+    t1 = jnp.sum(jnp.roll(terrain, -1) * onehot, axis=-1)  # terrain[i0+1]
+    return t0, t1, frac
+
+
+def _terrain_height(terrain: jax.Array, x: jax.Array) -> jax.Array:
+    """Piecewise-linear ground height at world x (chunk_x[i] = W/(CHUNKS-1)·i).
+
+    Accepts scalar or vector ``x``.
+    """
+    t0, t1, frac = _segment_lookup(terrain, x)
+    return t0 * (1.0 - frac) + t1 * frac
 
 
 def _terrain_normal(terrain: jax.Array, x: jax.Array) -> jax.Array:
     """Unit normal(s) of the terrain segment under x (scalar or [N] x)."""
     dx = W / (CHUNKS - 1)
-    xi = jnp.clip(x / dx, 0.0, CHUNKS - 1 - 1e-6)
-    i0 = jnp.floor(xi).astype(jnp.int32)
-    slope = (terrain[i0 + 1] - terrain[i0]) / dx
+    t0, t1, _ = _segment_lookup(terrain, x)
+    slope = (t1 - t0) / dx
     n = jnp.stack([-slope, jnp.ones_like(slope)], axis=-1)
     return n / jnp.linalg.norm(n, axis=-1, keepdims=True)
 
@@ -435,9 +451,13 @@ class LunarLander(Env):
             pts2 = pos[None, :] + (LEG_PTS @ rot2.T)
             ground2 = _terrain_height(state.terrain, pts2[:, 0])
             pen2 = ground2 - pts2[:, 1]
-            deepest = jnp.argmax(pen2)
-            corr = BAUMGARTE * jnp.maximum(pen2[deepest] - LINEAR_SLOP, 0.0)
-            n_deep = _terrain_normal(state.terrain, pts2[deepest, 0])
+            # one-hot select of the deepest point (dynamic indexing would be
+            # a per-env gather under vmap — see _segment_lookup)
+            deep_oh = (jnp.arange(pen2.shape[0]) == jnp.argmax(pen2)).astype(pen2.dtype)
+            pen_deep = jnp.sum(pen2 * deep_oh)
+            x_deep = jnp.sum(pts2[:, 0] * deep_oh)
+            corr = BAUMGARTE * jnp.maximum(pen_deep - LINEAR_SLOP, 0.0)
+            n_deep = _terrain_normal(state.terrain, x_deep)
             pos = pos + jnp.clip(corr, 0.0, 0.2) * n_deep
 
             # Contact flags after integration (for obs + next-step wind gating).
