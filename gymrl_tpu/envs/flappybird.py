@@ -83,9 +83,13 @@ class FlappyBird(Env):
     def _obs(self, state: FlappyBirdState) -> jax.Array:
         # Order pipes by x; "last" = the most recent pipe at/behind the player,
         # "next"/"next-next" the two upcoming ones (package feature layout).
+        # One-hot contractions instead of `x[order]` / `xs[i]`: under vmap
+        # those lower to per-env dynamic gathers, which are pathologically
+        # slow on TPU (same fix as lunarlander._segment_lookup).
         order = jnp.argsort(state.pipe_x)
-        xs = state.pipe_x[order]
-        gaps = state.gap_y[order]
+        oh_order = (jnp.arange(N_PIPES)[None, :] == order[:, None]).astype(jnp.float32)
+        xs = oh_order @ state.pipe_x
+        gaps = oh_order @ state.gap_y
         behind = xs + PIPE_W < PLAYER_X
         # index of last passed pipe (or the nearest if none passed yet)
         last_idx = jnp.where(jnp.any(behind), jnp.sum(behind.astype(jnp.int32)) - 1, 0)
@@ -93,9 +97,12 @@ class FlappyBird(Env):
         nnext_idx = jnp.minimum(last_idx + 2, N_PIPES - 1)
 
         def pipe_feats(i):
-            top_y = gaps[i] - PIPE_GAP / 2.0  # bottom edge of the top pipe
-            bot_y = gaps[i] + PIPE_GAP / 2.0  # top edge of the bottom pipe
-            return jnp.array([xs[i] / SCREEN_W, top_y / SCREEN_H, bot_y / SCREEN_H])
+            oh = (jnp.arange(N_PIPES) == i).astype(jnp.float32)
+            x_i = jnp.sum(xs * oh)
+            gap_i = jnp.sum(gaps * oh)
+            top_y = gap_i - PIPE_GAP / 2.0  # bottom edge of the top pipe
+            bot_y = gap_i + PIPE_GAP / 2.0  # top edge of the bottom pipe
+            return jnp.array([x_i / SCREEN_W, top_y / SCREEN_H, bot_y / SCREEN_H])
 
         return jnp.concatenate(
             [
