@@ -43,6 +43,13 @@ def build(name):
         cfg = PPOConfig(env_name="LunarLander-v3", num_envs=64, rollout_steps=64,
                         minibatch_size=256, max_train_steps=10_000_000)
         return PPOTrainer(cfg), 200.0
+    if name == "ppo_lunarlander_sgd_bf16":
+        # learning validation for the mixed-precision SGD option
+        from gymrl_tpu.algos.ppo import PPOConfig, PPOTrainer
+        cfg = PPOConfig(env_name="LunarLander-v3", num_envs=64, rollout_steps=64,
+                        minibatch_size=256, max_train_steps=10_000_000,
+                        sgd_bf16=True)
+        return PPOTrainer(cfg), 200.0
     if name == "ppo_full_lunarlander":
         from gymrl_tpu.algos.ppo_full import PPOFullConfig, PPOFullTrainer
         return PPOFullTrainer(PPOFullConfig()), 200.0

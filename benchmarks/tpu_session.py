@@ -137,6 +137,8 @@ def main(argv):
     bench_arm("baseline")
     if "--skip-bf16" not in argv:
         bench_arm("bf16", rollout_bf16=True)
+        bench_arm("sgd_bf16", sgd_bf16=True)
+        bench_arm("all_bf16", rollout_bf16=True, sgd_bf16=True)
     if "--skip-profile" not in argv:
         profile_phases()
 

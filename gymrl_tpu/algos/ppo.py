@@ -88,6 +88,14 @@ class PPOConfig:
     # rounding (~1e-2 relative on logits — inside PPO's clip band).
     # Off by default: opt-in for throughput runs (bench A/B).
     rollout_bf16: bool = False
+    # bf16 compute in the SGD loss forward/backward: master params and
+    # optimizer state stay fp32 (the cast is inside the loss, so autodiff
+    # returns fp32 grads computed through bf16 matmuls — the standard
+    # mixed-precision recipe). ~2x MXU rate on the epoch phase, which is
+    # 87% of the iteration after the rollout gather fix (PROFILE_r3.md).
+    # Opt-in: changes training numerics by bf16 rounding; learning-curve
+    # validation recorded in SOLVE_r3.jsonl (ppo_lunarlander_sgd_bf16).
+    sgd_bf16: bool = False
 
     @property
     def batch_total(self) -> int:
@@ -284,7 +292,14 @@ class PPOTrainer(Trainer):
 
     def _loss(self, params, batch, adv, returns):
         cfg = self.cfg
-        logits, values = self.net.apply(params, batch.obs)
+        if cfg.sgd_bf16:
+            bf16 = jnp.bfloat16
+            cparams = jax.tree_util.tree_map(lambda p: p.astype(bf16), params)
+            logits, values = self.net.apply(cparams, batch.obs.astype(bf16))
+            logits = logits.astype(jnp.float32)
+            values = values.astype(jnp.float32)
+        else:
+            logits, values = self.net.apply(params, batch.obs)
         logp, entropy = categorical_logp_entropy(logits, batch.action)
         ratio = jnp.exp(logp - batch.logp)
         surr1 = ratio * adv
