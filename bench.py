@@ -3,6 +3,18 @@
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 Baseline north star (BASELINE.json): 1M env-steps/s aggregate on
 PPO-LunarLander at 1 host. vs_baseline = value / 1e6.
+
+SGD-cadence deviation, stated for the record: this config runs 4 epochs x
+minibatch 16384 (128 grad steps per 524288-sample rollout). The reference
+workload (algorithms/ppo_lunarlander.py:261-272) runs 10 epochs x
+minibatch 64 — preserving that cadence at B=8192 would mean 81,920
+sequential grad steps per rollout, which no batch-scaled runner would
+ship. The solve configs (algos/ppo.py defaults, SOLVE_r*.jsonl) keep the
+reference cadence exactly; a reference-cadence throughput number at the
+reference's own scale (B=32, T=64, mb=64, 10 epochs) is recorded
+alongside the family matrix in THROUGHPUT_r4.json
+(benchmarks/throughput.py). The bench config has been held fixed since
+round 1, so cross-round vs_baseline ladders are like-for-like.
 """
 
 import json

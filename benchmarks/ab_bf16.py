@@ -2,8 +2,9 @@
 
     python benchmarks/ab_bf16.py
 
-Prints one JSON line per arm; pair with ab_pallas.py to choose the bench
-default (PPOConfig.rollout_bf16 / use_pallas docstrings).
+Prints one JSON line per arm. (The companion Pallas A/B was measured and
+deleted in round 3 after losing by 5.9% — PALLAS_AB_r3.json and the
+history note in PPOConfig record the outcome.)
 """
 import sys, pathlib; sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
 import json, time, jax

@@ -36,8 +36,10 @@ def build(name):
         )
         return DQNFamilyTrainer(cfg), None, 2.0  # margin: avg100 reward
     if name == "ppo_rnn_flappybird":
+        # r4: γ/BPTT parity fixes in the config (ppo_rnn.py) + a 5M budget
+        # so the endpoint is comparable to noisy_dqn_flappybird's horizon
         from gymrl_tpu.algos.ppo_rnn import PPORNNTrainer, ppo_rnn_flappybird_config
-        cfg = ppo_rnn_flappybird_config(max_train_steps=2_000_000)
+        cfg = ppo_rnn_flappybird_config(max_train_steps=5_000_000)
         return PPORNNTrainer(cfg), None, 2.0
     if name == "dqn_cartpole_pixels":
         from gymrl_tpu.algos.dqn_variants import DQNFamilyTrainer, dqn_pixels_config

@@ -1,0 +1,116 @@
+"""Build reference-vs-repo learning-curve overlays (VERDICT r3 item 3).
+
+Parses recorded runs of the reference's OWN scripts (their stdout logs,
+benchmarks/artifacts/ref*_run*.log) into (env_steps, avg100) curves and
+pairs each with the repo trainer's curve from a SOLVE jsonl (written by
+benchmarks/solve_curves.py with per-run curves).
+
+Two reference stdout formats exist:
+  * update-cadence (ppo_lunarlander.py:350-358):
+        Step: 206,848 | Updates: 101 | Avg Reward: 204.7 | ...
+  * episode-cadence (dqn_cartpole.py:199-205, sac_pendulum.py:299-307,
+    rainbow/ppg alike):
+        Episode 42/500 | Reward: 118 | Avg(100): 87.3 | Steps: 118 | ...
+    env-steps = cumulative sum of the per-episode Steps column.
+
+Usage:
+    python benchmarks/ref_overlay.py --solve SOLVE_r4.jsonl --out OVERLAY_r4.json
+"""
+
+from __future__ import annotations
+
+import json
+import pathlib
+import re
+import sys
+
+ART = pathlib.Path(__file__).resolve().parent / "artifacts"
+
+STEP_RE = re.compile(r"Step: ([\d,]+) \| Updates: \d+ \| Avg Reward: (-?[\d.]+)")
+EP_RE = re.compile(r"Episode \d+/\d+ \| Reward: -?[\d.]+ \| Avg\(100\): (-?[\d.]+) \| Steps: (\d+)")
+
+
+def parse_ref_log(path: pathlib.Path) -> dict:
+    text = path.read_text()
+    curve = []
+    if "Updates:" in text:
+        for m in STEP_RE.finditer(text):
+            curve.append([int(m.group(1).replace(",", "")), float(m.group(2))])
+    else:
+        steps = 0
+        for m in EP_RE.finditer(text):
+            steps += int(m.group(2))
+            curve.append([steps, float(m.group(1))])
+    m = re.search(r"solved at step ([\d,]+)", text) or re.search(
+        r"solved in (\d+) episodes", text
+    )
+    return {
+        "log": str(path.relative_to(ART.parent.parent)),
+        "curve": curve[:: max(1, len(curve) // 60)] + curve[-1:],
+        "final_avg100": curve[-1][1] if curve else None,
+        "total_env_steps": curve[-1][0] if curve else None,
+        "solved": bool(m),
+        "solve_point": m.group(1) if m else None,
+    }
+
+
+# workload -> (glob of reference-run logs, repo workload name in SOLVE jsonl)
+PAIRS = {
+    "ppo_lunarlander": ("refppo_run*.log", "ppo_lunarlander"),
+    "dqn_cartpole": ("refdqn_run*.log", "dqn_cartpole"),
+    "sac_pendulum": ("refsac_run*.log", "sac_pendulum"),
+    "rainbow_dqn_cartpole": ("refrainbow_run*.log", "rainbow_dqn_cartpole"),
+    "ppg_rnn_lunarlander": ("refppg_run*.log", "ppg_rnn_lunarlander"),
+}
+
+
+def main(argv):
+    solve_path, out_path = None, None
+    it = iter(argv)
+    for a in it:
+        if a == "--solve":
+            solve_path = next(it)
+        elif a == "--out":
+            out_path = next(it)
+
+    repo_curves: dict[str, list] = {}
+    if solve_path:
+        for line in pathlib.Path(solve_path).read_text().splitlines():
+            rec = json.loads(line)
+            if "curve" in rec:
+                repo_curves.setdefault(rec["workload"], []).append(
+                    {
+                        "seed": rec.get("seed"),
+                        "curve": rec["curve"],
+                        "solved": rec.get("solved"),
+                        "env_steps": rec.get("env_steps"),
+                        "avg100": rec.get("avg100"),
+                    }
+                )
+
+    overlay = {}
+    for name, (glob, repo_name) in PAIRS.items():
+        logs = sorted(ART.glob(glob))
+        if not logs:
+            continue
+        overlay[name] = {
+            "reference_runs": [parse_ref_log(p) for p in logs],
+            "repo_runs": repo_curves.get(repo_name, []),
+        }
+
+    text = json.dumps(overlay, indent=1)
+    if out_path:
+        pathlib.Path(out_path).write_text(text)
+        for name, o in overlay.items():
+            refs = [r.get("solve_point") or f"unsolved@{r['total_env_steps']}"
+                    for r in o["reference_runs"]]
+            reps = [f"{r['env_steps']}" if r.get("solved") else
+                    f"unsolved@{r.get('env_steps')}" for r in o["repo_runs"]]
+            print(json.dumps({"workload": name, "ref_solves": refs,
+                              "repo_solves": reps}))
+    else:
+        print(text)
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

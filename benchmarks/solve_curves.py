@@ -97,6 +97,13 @@ def build(name):
         from gymrl_tpu.algos.dqn_variants import DQNFamilyTrainer, rainbow_config
         cfg = rainbow_config(num_envs=128, steps_per_iter=64, updates_per_step=16)
         return DQNFamilyTrainer(cfg), 495.0
+    if name == "rainbow_dqn_cartpole_gamma99":
+        # single documented deviation from the reference's γ=0.9 — the one
+        # binding constraint (ABLATION_rainbow_r3.json); solves CartPole
+        from gymrl_tpu.algos.dqn_variants import DQNFamilyTrainer, rainbow_config
+        cfg = rainbow_config(num_envs=128, steps_per_iter=64, updates_per_step=16,
+                             gamma=0.99)
+        return DQNFamilyTrainer(cfg), 495.0
     if name == "sac_pendulum":
         from gymrl_tpu.algos.continuous import SACTrainer, sac_config
         cfg = sac_config(num_envs=64, steps_per_iter=64, updates_per_step=8)
@@ -119,35 +126,43 @@ def build(name):
 
 def main(argv):
     out_path = None
-    seed = 0
+    seeds = [0]
     names = []
     it = iter(argv)
     for a in it:
         if a == "--out":
             out_path = next(it)
         elif a == "--seed":
-            seed = int(next(it))
+            seeds = [int(next(it))]
+        elif a == "--seeds":
+            seeds = [int(s) for s in next(it).split(",")]
         else:
             names.append(a)
 
     for name in names or ["dqn_cartpole", "ppo_cartpole", "ppo_lunarlander"]:
+        # one trainer per workload, seeds looped inside: the jitted
+        # train_iter caches on the trainer instance, so seeds 1+ skip the
+        # (relay-expensive) XLA compile entirely
         trainer, threshold = build(name)
-        loop = TrainLoop(trainer, f"curve_{name}", log_metrics=False, log_every=50)
-        ts, stats = loop.train(trainer.cfg.max_train_steps,
-                               solve_threshold=threshold, seed=seed)
-        line = json.dumps({
-            "workload": name,
-            "solved": stats["solved"],
-            "env_steps": stats["env_steps"],
-            "wall_s": round(stats["wall_s"], 1),
-            "avg100": round(stats["avg100"], 1),
-            "threshold": threshold,
-            "seed": seed,
-        })
-        print(line, flush=True)
-        if out_path:
-            with open(out_path, "a") as f:
-                f.write(line + "\n")
+        for seed in seeds:
+            loop = TrainLoop(trainer, f"curve_{name}", log_metrics=False, log_every=50)
+            ts, stats = loop.train(trainer.cfg.max_train_steps,
+                                   solve_threshold=threshold, seed=seed)
+            curve = stats["curve"]
+            line = json.dumps({
+                "workload": name,
+                "solved": stats["solved"],
+                "env_steps": stats["env_steps"],
+                "wall_s": round(stats["wall_s"], 1),
+                "avg100": round(stats["avg100"], 1),
+                "threshold": threshold,
+                "seed": seed,
+                "curve": curve[:: max(1, len(curve) // 40)],
+            })
+            print(line, flush=True)
+            if out_path:
+                with open(out_path, "a") as f:
+                    f.write(line + "\n")
 
 
 if __name__ == "__main__":

@@ -17,6 +17,7 @@ import jax
 
 
 def _bench_trainer(trainer, iters: int = 5):
+    trainer.donate = True  # production drivers donate (base.Trainer note)
     ts = trainer.init(jax.random.PRNGKey(0))
     ts, _ = trainer.train_iter(ts)  # compile + warmup
     jax.block_until_ready(jax.tree_util.tree_leaves(ts)[0])
@@ -71,13 +72,42 @@ def ppo_lstm_lunarlander():
                                         seq_minibatch=512))
 
 
+def ppo_lunarlander_refcadence():
+    """Reference-exact scale AND SGD cadence (ppo_lunarlander.py:261-272):
+    2048-sample rollout, 10 epochs x minibatch 64 = 320 grad steps/iter.
+    This is the honest like-for-like throughput number next to bench.py's
+    batch-scaled config (see bench.py docstring for the stated deviation)."""
+    from gymrl_tpu.algos.ppo import PPOConfig, PPOTrainer
+
+    return PPOTrainer(PPOConfig(env_name="LunarLander-v3", num_envs=32,
+                                rollout_steps=64, minibatch_size=64,
+                                num_epochs=10))
+
+
+def ppo_rnn_lunarlander():
+    """Solve-config (whole-episode BPTT) throughput — the config of the
+    SOLVE sweeps, so wall-clock there is directly explained."""
+    from gymrl_tpu.algos.ppo_rnn import PPORNNTrainer, ppo_rnn_lunarlander_config
+
+    return PPORNNTrainer(ppo_rnn_lunarlander_config())
+
+
+def ppg_rnn_lunarlander():
+    from gymrl_tpu.algos.ppg import PPGTrainer, ppg_rnn_lunarlander_config
+
+    return PPGTrainer(ppg_rnn_lunarlander_config())
+
+
 WORKLOADS = {
     "ppo_lunarlander": ppo_lunarlander,
+    "ppo_lunarlander_refcadence": ppo_lunarlander_refcadence,
     "ppo_cartpole": ppo_cartpole,
     "dqn_cartpole": dqn_cartpole,
     "rainbow_cartpole": rainbow_cartpole,
     "sac_pendulum": sac_pendulum,
     "ppo_lstm_lunarlander": ppo_lstm_lunarlander,
+    "ppo_rnn_lunarlander": ppo_rnn_lunarlander,
+    "ppg_rnn_lunarlander": ppg_rnn_lunarlander,
 }
 
 

@@ -64,6 +64,39 @@ def masked_mean(x: jax.Array, mask: jax.Array, eps: float = 1e-8) -> jax.Array:
     return jnp.sum(x * mask) / (jnp.sum(mask) + eps)
 
 
+def pack_fields(data: dict) -> tuple[jax.Array, dict]:
+    """Pack a dict of [n, ...] arrays into ONE [n, F] f32 matrix + layout spec.
+
+    Epoch shuffles that gather random rows leaf-by-leaf over many narrow
+    arrays are the worst HBM pattern on TPU (~1% of bandwidth at bench
+    scale — PROFILE_r3.md measured 88 ms/iter for the flagship's 10-leaf
+    Rollout shuffle vs 15 ms packed). Packing the minibatch fields into one
+    matrix makes the shuffle a single wide gather; `unpack_fields` restores
+    the dict (and dtypes) inside each minibatch. Integer fields roundtrip
+    exactly through f32 for |v| < 2^24 (asserted here for int leaves'
+    dtype, values are action/index-scale by construction).
+    """
+    spec = {}
+    cols = []
+    off = 0
+    for k in sorted(data):
+        x = data[k]
+        flat = x.reshape(x.shape[0], -1)
+        assert flat.dtype in (jnp.float32, jnp.int32, jnp.bool_), flat.dtype
+        spec[k] = (off, off + flat.shape[1], x.shape[1:], x.dtype)
+        off += flat.shape[1]
+        cols.append(flat.astype(jnp.float32))
+    return jnp.concatenate(cols, axis=1), spec
+
+
+def unpack_fields(rows: jax.Array, spec: dict) -> dict:
+    """Inverse of `pack_fields` for a [m, F] minibatch of packed rows."""
+    return {
+        k: rows[:, a:b].reshape((rows.shape[0],) + shape).astype(dtype)
+        for k, (a, b, shape, dtype) in spec.items()
+    }
+
+
 class Trainer:
     """Base: holds cfg + static net/env; subclasses implement the API.
 
@@ -92,17 +125,17 @@ class Trainer:
     def _in_shardings(self):
         """Input shardings for the jitted train_iter (None = unconstrained).
         Default: the off-policy DP layout (env batch on 'data',
-        replay/params replicated — distributed.mesh.offpolicy_state_shardings).
+        replay/params replicated — distributed.mesh.train_state_shardings).
         Trainers with bespoke layouts (PPO's TP trunk) override this."""
         if self.mesh is None:
             return None
-        from gymrl_tpu.distributed.mesh import offpolicy_state_shardings
+        from gymrl_tpu.distributed.mesh import train_state_shardings
 
         # Abstract trace only: no real env-reset/param-init compute, and no
         # dependence on the subclass init() signature (the sharding helpers
         # read only leaf shapes/ndim).
         example = jax.eval_shape(self.init, jax.random.PRNGKey(0))
-        return offpolicy_state_shardings(self.mesh, example)
+        return train_state_shardings(self.mesh, example)
 
     def train_iter(self, ts) -> tuple[Any, IterOut]:
         """Jit `self._train_iter` once per (donate flag), binding shardings

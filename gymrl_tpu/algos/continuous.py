@@ -194,7 +194,7 @@ class OffPolicyContinuousTrainer(Trainer):
 
     With ``mesh``: DP over the env batch and over the sampled learner
     minibatch, replay replicated (same design as DQNFamilyTrainer — see
-    distributed.mesh.offpolicy_state_shardings)."""
+    distributed.mesh.train_state_shardings)."""
 
     def _make_nets(self, key, obs_dim):
         raise NotImplementedError
@@ -230,9 +230,9 @@ class OffPolicyContinuousTrainer(Trainer):
             learn_steps=jnp.zeros((), jnp.int32),
         )
         if self.mesh is not None and _place:
-            from gymrl_tpu.distributed.mesh import offpolicy_state_shardings
+            from gymrl_tpu.distributed.mesh import train_state_shardings
 
-            sh = offpolicy_state_shardings(self.mesh, ts)
+            sh = train_state_shardings(self.mesh, ts)
             ts = jax.tree_util.tree_map(jax.device_put, ts, sh)
         return ts
 

@@ -95,7 +95,7 @@ class DQNTrainState(NamedTuple):
 
 class DQNTrainer(Trainer):
     """With ``mesh``: env batch + sampled learner batch DP over 'data',
-    replay replicated (distributed.mesh.offpolicy_state_shardings)."""
+    replay replicated (distributed.mesh.train_state_shardings)."""
 
     def __init__(self, cfg: DQNConfig, mesh=None):
         super().__init__(cfg, mesh)
@@ -127,9 +127,9 @@ class DQNTrainer(Trainer):
             target_syncs=jnp.zeros((), jnp.int32),
         )
         if self.mesh is not None and _place:
-            from gymrl_tpu.distributed.mesh import offpolicy_state_shardings
+            from gymrl_tpu.distributed.mesh import train_state_shardings
 
-            sh = offpolicy_state_shardings(self.mesh, ts)
+            sh = train_state_shardings(self.mesh, ts)
             ts = jax.tree_util.tree_map(jax.device_put, ts, sh)
         return ts
 

@@ -109,6 +109,12 @@ class DQNFamilyConfig:
     grad_clip_norm: float | None = None
     lr_decay: bool = False  # rainbow's 0.9·lr·(1−t/T)+0.1·lr
     updates_per_step: int | None = None  # None ⇒ num_envs (ref cadence)
+    # Store replay obs/next_obs as uint8 (x·255 rounded): 4× less HBM for
+    # pixel frames in [0, 1], enabling 8-16× larger pixel replay at equal
+    # memory. Quantization error ≤ 1/510 per channel — below the render's
+    # own intensity quantum. Requires normalize_obs=False (frames are
+    # already [0, 1]; RMS-normalized obs are unbounded).
+    obs_uint8: bool = False
     max_train_steps: int = 2_000_000
     solve_threshold: float | None = 495.0
 
@@ -229,7 +235,7 @@ class FamilyTrainState(NamedTuple):
 
 class DQNFamilyTrainer(Trainer):
     """With ``mesh``: DP over the env batch + the sampled learner batch;
-    replay/sum-tree replicated (see distributed.mesh.offpolicy_state_shardings
+    replay/sum-tree replicated (see distributed.mesh.train_state_shardings
     for the design rationale). 'model' axis unused — these nets are ≤256 wide,
     TP would be all-reduce overhead for no MXU win."""
 
@@ -273,11 +279,14 @@ class DQNFamilyTrainer(Trainer):
         obs_shape = self.venv.env.obs_shape  # (d,) for vectors, (H, W, C) for pixels
         init_rngs = {"params": k_params}
         params = self.net.init(init_rngs, jnp.zeros((1, *obs_shape)))
+        obs_dtype = jnp.uint8 if cfg.obs_uint8 else jnp.float32
+        if cfg.obs_uint8:
+            assert not cfg.normalize_obs, "obs_uint8 requires raw [0,1] frames"
         example = Transition(
-            obs=jnp.zeros(obs_shape, jnp.float32),
+            obs=jnp.zeros(obs_shape, obs_dtype),
             action=jnp.zeros((), jnp.int32),
             reward=jnp.zeros((), jnp.float32),
-            next_obs=jnp.zeros(obs_shape, jnp.float32),
+            next_obs=jnp.zeros(obs_shape, obs_dtype),
             terminated=jnp.zeros((), jnp.float32),
             done=jnp.zeros((), jnp.float32),
         )
@@ -314,9 +323,9 @@ class DQNFamilyTrainer(Trainer):
             beta=jnp.asarray(cfg.per_beta0, jnp.float32),
         )
         if self.mesh is not None and _place:
-            from gymrl_tpu.distributed.mesh import offpolicy_state_shardings
+            from gymrl_tpu.distributed.mesh import train_state_shardings
 
-            sh = offpolicy_state_shardings(self.mesh, ts)
+            sh = train_state_shardings(self.mesh, ts)
             ts = jax.tree_util.tree_map(jax.device_put, ts, sh)
         return ts
 
@@ -383,6 +392,11 @@ class DQNFamilyTrainer(Trainer):
         else:
             batch = replay_sample(replay, k_sample, cfg.batch_size)
             weights = jnp.ones((cfg.batch_size,), jnp.float32)
+        if cfg.obs_uint8:  # dequantize sampled frames back to [0, 1] f32
+            batch = batch._replace(
+                obs=batch.obs.astype(jnp.float32) / 255.0,
+                next_obs=batch.next_obs.astype(jnp.float32) / 255.0,
+            )
         if self.mesh is not None:
             from gymrl_tpu.distributed.mesh import constrain_batch
 
@@ -472,6 +486,11 @@ class DQNFamilyTrainer(Trainer):
                 emit = step_tr
                 warm = jnp.asarray(True)
 
+            if cfg.obs_uint8:  # quantize frames entering the replay
+                emit = emit._replace(
+                    obs=jnp.round(emit.obs * 255.0).astype(jnp.uint8),
+                    next_obs=jnp.round(emit.next_obs * 255.0).astype(jnp.uint8),
+                )
             push = per_push_batch if cfg.use_per else replay_push_batch
             replay = jax.lax.cond(
                 warm, lambda r: push(r, emit), lambda r: r, ts.replay
@@ -613,11 +632,17 @@ def dqn_pixels_config(**kw) -> DQNFamilyConfig:
     """Pixel-observation DQN: conv trunk on CartPolePixels-v0 — the
     framework's image-obs pipeline (reference capability: make_env's
     AtariPreprocessing + PyTorchFrame path, utils/runner.py:57-66).
-    Small replay: pixel transitions are ~9k floats each."""
+
+    Round-4 revision of the r3 guesses (plateau ~130, CURVES_r3.jsonl):
+    anti-aliased rendering (envs/pixels.py) exposes sub-pixel motion;
+    uint8 frame storage (obs_uint8) buys a 16k replay at the old 2k's
+    memory; ε decays over 20k steps (800 collapsed exploration within
+    ~6 vector steps of 32 envs)."""
     base = dict(
         env_name="CartPolePixels-v0", trunk="conv", hidden_dim=256,
         gamma=0.99, lr=3e-4, double=True, dueling=True, use_per=False,
-        num_envs=32, batch_size=32, memory_capacity=2048,
+        num_envs=32, batch_size=32, memory_capacity=16384, obs_uint8=True,
+        epsilon_decay=20_000.0,
         target_mode="hard_step", target_update_freq=500,
         grad_clip_value=None, grad_clip_norm=10.0, updates_per_step=2,
     )

@@ -46,7 +46,7 @@ import jax.numpy as jnp
 import optax
 import flax.linen as nn
 
-from gymrl_tpu.algos.base import IterOut, masked_mean
+from gymrl_tpu.algos.base import IterOut, masked_mean, pack_fields, unpack_fields
 from gymrl_tpu.algos.ppo_rnn import (
     PPORNNConfig,
     PPORNNTrainer,
@@ -98,8 +98,8 @@ class PPGActorCritic(nn.Module):
 
 
 class PPGTrainer(PPORNNTrainer):
-    def __init__(self, cfg: PPGConfig):
-        super().__init__(cfg)
+    def __init__(self, cfg: PPGConfig, mesh=None):
+        super().__init__(cfg, mesh)
         self.net = PPGActorCritic(self.venv.env.n_actions, cfg.feature_dim)
 
     def _apply_cell(self, params, h, x):
@@ -153,14 +153,18 @@ class PPGTrainer(PPORNNTrainer):
 
         data, n_seqs, pack_metrics = self._training_data(roll, adv, v_target)
         mb_size = n_seqs // cfg.num_minibatches
+        # Packed epoch shuffle for both phases (PROFILE_r3.md pathology;
+        # same single-wide-gather fix as ppo.py / ppo_rnn.py)
+        packed, spec = pack_fields(data)
 
         def phase1_epoch(carry, k_epoch):
             params, opt_state = carry
-            perm = jax.random.permutation(k_epoch, n_seqs).reshape(cfg.num_minibatches, mb_size)
+            perm = jax.random.permutation(k_epoch, n_seqs)
+            mb_rows = packed[perm].reshape(cfg.num_minibatches, mb_size, -1)
 
-            def minibatch(carry, idx):
+            def minibatch(carry, rows):
                 params, opt_state = carry
-                mb = jax.tree_util.tree_map(lambda x: x[idx], data)
+                mb = unpack_fields(rows, spec)
                 (loss, metrics), grads = jax.value_and_grad(self._loss, has_aux=True)(
                     params, mb
                 )
@@ -168,7 +172,9 @@ class PPGTrainer(PPORNNTrainer):
                 params = optax.apply_updates(params, updates)
                 return (params, opt_state), metrics
 
-            (params, opt_state), metrics = jax.lax.scan(minibatch, (params, opt_state), perm)
+            (params, opt_state), metrics = jax.lax.scan(
+                minibatch, (params, opt_state), mb_rows
+            )
             return (params, opt_state), metrics
 
         key, k_p1, k_p2 = jax.random.split(key, 3)
@@ -187,14 +193,16 @@ class PPGTrainer(PPORNNTrainer):
                     jax.nn.log_softmax(anchor_logits)
                 ),
             )
+        aux_packed, aux_spec = pack_fields(data)
 
         def phase2_epoch(carry, k_epoch):
             params, opt_state = carry
-            perm = jax.random.permutation(k_epoch, n_seqs).reshape(cfg.num_minibatches, mb_size)
+            perm = jax.random.permutation(k_epoch, n_seqs)
+            mb_rows = aux_packed[perm].reshape(cfg.num_minibatches, mb_size, -1)
 
-            def minibatch(carry, idx):
+            def minibatch(carry, rows):
                 params, opt_state = carry
-                mb = jax.tree_util.tree_map(lambda x: x[idx], data)
+                mb = unpack_fields(rows, aux_spec)
                 (loss, aux_metrics), grads = jax.value_and_grad(
                     self._aux_loss, has_aux=True
                 )(params, mb)
@@ -203,7 +211,7 @@ class PPGTrainer(PPORNNTrainer):
                 return (params, opt_state), aux_metrics
 
             (params, opt_state), aux_metrics = jax.lax.scan(
-                minibatch, (params, opt_state), perm
+                minibatch, (params, opt_state), mb_rows
             )
             return (params, opt_state), aux_metrics
 

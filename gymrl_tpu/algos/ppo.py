@@ -91,11 +91,25 @@ class PPOConfig:
     # bf16 compute in the SGD loss forward/backward: master params and
     # optimizer state stay fp32 (the cast is inside the loss, so autodiff
     # returns fp32 grads computed through bf16 matmuls — the standard
-    # mixed-precision recipe). ~2x MXU rate on the epoch phase, which is
-    # 87% of the iteration after the rollout gather fix (PROFILE_r3.md).
+    # mixed-precision recipe). ~2x MXU rate on the epoch phase, which was
+    # 87% of the iteration right after the rollout gather fix and ~70%
+    # (65 ms of ~93 ms) after the epoch-shuffle pack landed (PROFILE_r3.md
+    # — both snapshots are recorded there).
     # Opt-in: changes training numerics by bf16 rounding; learning-curve
     # validation recorded in SOLVE_r3.jsonl (ppo_lunarlander_sgd_bf16).
     sgd_bf16: bool = False
+    # Reference SGD cadence (algorithms/ppo_lunarlander.py:261-272) is
+    # 10 epochs × minibatch 64. bench.py deliberately deviates (4 × 16384)
+    # and says so; solve configs keep the reference cadence.
+    # Run the optimizer on ONE raveled parameter vector instead of the
+    # param pytree: clip_by_global_norm + Adam become a handful of fused
+    # wide elementwise kernels instead of ~6 ops × ~12 leaves per grad
+    # step — the r4 attack on the "128 sequential ~0.5 ms grad steps"
+    # floor (PROFILE_r3.md). Mathematically identical update (Adam is
+    # elementwise; the global norm is the same sum re-associated), not
+    # bit-identical (reduction order). Unsupported with model-axis TP
+    # (the flat master vector cannot carry the per-leaf TP layout).
+    flat_optimizer: bool = False
 
     @property
     def batch_total(self) -> int:
@@ -211,9 +225,18 @@ class PPOTrainer(Trainer):
         k_params, k_env, k_iter = jax.random.split(key, 3)
         obs_dim = self.venv.env.obs_dim
         params = self.net.init(k_params, jnp.zeros((1, obs_dim)))
+        if self.cfg.flat_optimizer:
+            from jax.flatten_util import ravel_pytree
+
+            assert self.mesh is None or self.mesh.shape.get("model", 1) == 1, (
+                "flat_optimizer is incompatible with model-axis TP"
+            )
+            opt_target = ravel_pytree(params)[0]
+        else:
+            opt_target = params
         ts = PPOTrainState(
             params=params,
-            opt_state=self.tx.init(params),
+            opt_state=self.tx.init(opt_target),
             vec_state=self.venv.reset(k_env),
             obs_rms=rms_init((obs_dim,)),
             key=k_iter,
@@ -359,7 +382,14 @@ class PPOTrainer(Trainer):
         # bench scale vs 65 ms packed — random-row gathers over many narrow
         # leaves are the worst HBM pattern on TPU (PROFILE_r3.md). The
         # permutation, minibatch grouping, and loss inputs are unchanged
-        # (action roundtrips exactly through f32).
+        # (action roundtrips exactly through f32). Requires flat vector
+        # observations — [T, B, obs_dim] — which every PPOTrainer workload
+        # has (LunarLander/CartPole); image-obs variants would need the
+        # pytree shuffle back.
+        assert roll.obs.ndim == 3, (
+            "packed epoch shuffle requires flat vector obs [T, B, obs_dim]; "
+            f"got rank {roll.obs.ndim}"
+        )
         obs_dim = roll.obs.shape[-1]
         n = cfg.batch_total
         packed = jnp.concatenate(
@@ -378,6 +408,17 @@ class PPOTrainer(Trainer):
         lr = jnp.where(cfg.anneal_lr, cfg.lr * jnp.maximum(frac, 0.0), cfg.lr)
         opt_state = ts.opt_state
         opt_state[1].hyperparams["learning_rate"] = lr  # inject_hyperparams slot
+
+        # Optimizer representation: flat master vector (one fused Adam) or
+        # the param pytree — see PPOConfig.flat_optimizer.
+        if cfg.flat_optimizer:
+            from jax.flatten_util import ravel_pytree
+
+            params0, unravel = ravel_pytree(ts.params)
+            loss_fn = lambda p, *a: self._loss(unravel(p), *a)
+        else:
+            params0, unravel = ts.params, lambda p: p
+            loss_fn = self._loss
 
         def epoch(carry, k_epoch):
             params, opt_state = carry
@@ -398,7 +439,7 @@ class PPOTrainer(Trainer):
                     logp=mb[:, obs_dim + 1],
                 )
                 adv_mb, ret_mb = mb[:, obs_dim + 2], mb[:, obs_dim + 3]
-                (loss, metrics), grads = jax.value_and_grad(self._loss, has_aux=True)(
+                (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
                     params, batch, adv_mb, ret_mb
                 )
                 updates, opt_state = self.tx.update(grads, opt_state, params)
@@ -413,8 +454,9 @@ class PPOTrainer(Trainer):
         key, k_epochs = jax.random.split(key)
         epoch_keys = jax.random.split(k_epochs, cfg.num_epochs)
         (params, opt_state), metrics = jax.lax.scan(
-            epoch, (ts.params, opt_state), epoch_keys
+            epoch, (params0, opt_state), epoch_keys
         )
+        params = unravel(params)
 
         new_ts = PPOTrainState(
             params=params,

@@ -37,7 +37,7 @@ import jax.numpy as jnp
 import optax
 import flax.linen as nn
 
-from gymrl_tpu.algos.base import IterOut, Trainer, masked_mean
+from gymrl_tpu.algos.base import IterOut, Trainer, masked_mean, pack_fields, unpack_fields
 from gymrl_tpu.core.gae import compute_gae_dual_lambda, standardize
 from gymrl_tpu.envs.registry import make_vec
 from gymrl_tpu.nn.layers import PSCN
@@ -165,8 +165,15 @@ class LSTMRollout(NamedTuple):
 
 
 class PPOLSTMTrainer(Trainer):
-    def __init__(self, cfg: PPOLSTMConfig):
-        super().__init__(cfg)
+    """With ``mesh``: env-batch DP over 'data' (vec_state + the packed URNN
+    hidden carry shard on batch; params — incl. the mHC backbone and the
+    RND pair — replicate), via distributed.mesh.train_state_shardings. The
+    seq_len=8 chunks are per-env slices so the stored-initial-hidden
+    re-unroll stays shard-local; the global sequence shuffle reshards over
+    ICI and gradients psum into the replicated params automatically."""
+
+    def __init__(self, cfg: PPOLSTMConfig, mesh=None):
+        super().__init__(cfg, mesh)
         self.venv = make_vec(cfg.env_name, cfg.num_envs)
         self.net = LSTMActorCritic(self.venv.env.n_actions, cfg)
         self.tx = optax.chain(
@@ -175,13 +182,13 @@ class PPOLSTMTrainer(Trainer):
         )
         self._eval_cache: dict = {}
 
-    def init(self, key) -> LSTMTrainState:
+    def init(self, key, _place: bool = True) -> LSTMTrainState:
         cfg = self.cfg
         k_params, k_env, k_iter = jax.random.split(key, 3)
         obs_dim = self.venv.env.obs_dim
         h0 = jnp.zeros((1, self.net.packed_hidden), jnp.float32)
         params = self.net.init(k_params, h0, jnp.zeros((1, obs_dim)))
-        return LSTMTrainState(
+        ts = LSTMTrainState(
             params=params,
             opt_state=self.tx.init(params),
             vec_state=self.venv.reset(k_env),
@@ -189,6 +196,12 @@ class PPOLSTMTrainer(Trainer):
             key=k_iter,
             env_steps=jnp.zeros((), jnp.int32),
         )
+        if self.mesh is not None and _place:
+            from gymrl_tpu.distributed.mesh import train_state_shardings
+
+            sh = train_state_shardings(self.mesh, ts)
+            ts = jax.tree_util.tree_map(jax.device_put, ts, sh)
+        return ts
 
     def policy(self, ts, obs, key, deterministic: bool = True):
         b = obs.shape[0]
@@ -366,16 +379,18 @@ class PPOLSTMTrainer(Trainer):
 
         n_seqs = cfg.seqs_per_rollout
         mb_size = n_seqs // cfg.num_minibatches
+        # Packed epoch shuffle — one wide gather instead of 8 narrow
+        # leaf-by-leaf gathers (PROFILE_r3.md pathology; same fix as ppo.py)
+        packed, spec = pack_fields(data)
 
         def epoch(carry, k_epoch):
             params, opt_state = carry
-            perm = jax.random.permutation(k_epoch, n_seqs).reshape(
-                cfg.num_minibatches, mb_size
-            )
+            perm = jax.random.permutation(k_epoch, n_seqs)
+            mb_rows = packed[perm].reshape(cfg.num_minibatches, mb_size, -1)
 
-            def minibatch(carry, idx):
+            def minibatch(carry, rows):
                 params, opt_state = carry
-                mb = jax.tree_util.tree_map(lambda x: x[idx], data)
+                mb = unpack_fields(rows, spec)
                 (loss, metrics), grads = jax.value_and_grad(self._loss, has_aux=True)(
                     params, mb, ent_coef
                 )
@@ -383,7 +398,9 @@ class PPOLSTMTrainer(Trainer):
                 params = optax.apply_updates(params, updates)
                 return (params, opt_state), metrics
 
-            (params, opt_state), metrics = jax.lax.scan(minibatch, (params, opt_state), perm)
+            (params, opt_state), metrics = jax.lax.scan(
+                minibatch, (params, opt_state), mb_rows
+            )
             return (params, opt_state), metrics
 
         key, k_epochs = jax.random.split(key)

@@ -38,7 +38,7 @@ import jax.numpy as jnp
 import optax
 import flax.linen as nn
 
-from gymrl_tpu.algos.base import IterOut, Trainer, masked_mean
+from gymrl_tpu.algos.base import IterOut, Trainer, masked_mean, pack_fields, unpack_fields
 from gymrl_tpu.core.gae import compute_gae, standardize
 from gymrl_tpu.core.normalization import (
     RewardScaler,
@@ -153,8 +153,16 @@ class RNNRollout(NamedTuple):
 
 
 class PPORNNTrainer(Trainer):
-    def __init__(self, cfg: PPORNNConfig):
-        super().__init__(cfg)
+    """With ``mesh``: env-batch DP over 'data' — vec_state, the GRU hidden
+    carry [B, rnn] and the per-env reward-scaler returns [B] shard on the
+    batch axis; params/opt-state/obs-RMS replicate, so minibatch gradients
+    psum over 'data' automatically (distributed.mesh.train_state_shardings).
+    The sequence chunks stay per-env slices, so the BPTT re-unroll never
+    crosses shard boundaries; only the epoch shuffle's global permutation
+    reshards (rides ICI), exactly like flat PPO's."""
+
+    def __init__(self, cfg: PPORNNConfig, mesh=None):
+        super().__init__(cfg, mesh)
         self.venv = make_vec(cfg.env_name, cfg.num_envs)
         self.net = RecurrentActorCritic(self.venv.env.n_actions, cfg.feature_dim)
         self.tx = optax.chain(
@@ -163,13 +171,13 @@ class PPORNNTrainer(Trainer):
         )
         self._eval_cache: dict = {}
 
-    def init(self, key) -> RNNTrainState:
+    def init(self, key, _place: bool = True) -> RNNTrainState:
         cfg = self.cfg
         k_params, k_env, k_iter = jax.random.split(key, 3)
         obs_dim = self.venv.env.obs_dim
         h0 = jnp.zeros((1, self.net.rnn_size), jnp.float32)
         params = self.net.init(k_params, h0, jnp.zeros((1, obs_dim)))
-        return RNNTrainState(
+        ts = RNNTrainState(
             params=params,
             opt_state=self.tx.init(params),
             vec_state=self.venv.reset(k_env),
@@ -179,6 +187,12 @@ class PPORNNTrainer(Trainer):
             key=k_iter,
             env_steps=jnp.zeros((), jnp.int32),
         )
+        if self.mesh is not None and _place:
+            from gymrl_tpu.distributed.mesh import train_state_shardings
+
+            sh = train_state_shardings(self.mesh, ts)
+            ts = jax.tree_util.tree_map(jax.device_put, ts, sh)
+        return ts
 
     def _norm(self, rms, obs):
         return normalize_obs(rms, obs) if self.cfg.normalize_obs else obs
@@ -394,16 +408,20 @@ class PPORNNTrainer(Trainer):
 
         data, n_seqs, pack_metrics = self._training_data(roll, adv, v_target)
         mb_size = n_seqs // cfg.num_minibatches
+        # One packed [n, F] matrix instead of ~7 narrow sequence leaves: the
+        # epoch shuffle becomes a single wide gather (same pathology + fix
+        # as flat PPO's — PROFILE_r3.md "epoch-shuffle pack"). Identical
+        # sample groups/order; ints roundtrip exactly through f32.
+        packed, spec = pack_fields(data)
 
         def epoch(carry, k_epoch):
             params, opt_state = carry
-            perm = jax.random.permutation(k_epoch, n_seqs).reshape(
-                cfg.num_minibatches, mb_size
-            )
+            perm = jax.random.permutation(k_epoch, n_seqs)
+            mb_rows = packed[perm].reshape(cfg.num_minibatches, mb_size, -1)
 
-            def minibatch(carry, idx):
+            def minibatch(carry, rows):
                 params, opt_state = carry
-                mb = jax.tree_util.tree_map(lambda x: x[idx], data)
+                mb = unpack_fields(rows, spec)
                 (loss, metrics), grads = jax.value_and_grad(self._loss, has_aux=True)(
                     params, mb
                 )
@@ -411,7 +429,9 @@ class PPORNNTrainer(Trainer):
                 params = optax.apply_updates(params, updates)
                 return (params, opt_state), metrics
 
-            (params, opt_state), metrics = jax.lax.scan(minibatch, (params, opt_state), perm)
+            (params, opt_state), metrics = jax.lax.scan(
+                minibatch, (params, opt_state), mb_rows
+            )
             return (params, opt_state), metrics
 
         key, k_epochs = jax.random.split(key)
@@ -443,7 +463,15 @@ def ppo_rnn_lunarlander_config(**kw) -> PPORNNConfig:
 
 
 def ppo_rnn_flappybird_config(**kw) -> PPORNNConfig:
-    """ppo_rnn_flappybird.py: identical loop at width 512 (:172-202)."""
-    base = dict(env_name="FlappyBird-v0", feature_dim=512, solve_threshold=None)
+    """ppo_rnn_flappybird.py: identical loop at width 512 (:172-202).
+
+    Round-4 parity fixes vs the r3 config (peak avg100 43.5,
+    CURVES_r3.jsonl): γ=0.995 (ref :56 — rounds 1-3 inherited the
+    LunarLander 0.99) and whole-episode BPTT (the reference trains on 4
+    whole-episode buffers, :52 batch_size=4 'parallel episodes', same as
+    its LunarLander variant) instead of truncated chunks."""
+    base = dict(env_name="FlappyBird-v0", feature_dim=512, solve_threshold=None,
+                gamma=0.995, whole_episode_bptt=True, episode_rows_per_env=8,
+                seq_minibatch=64)
     base.update(kw)
     return PPORNNConfig(**base)

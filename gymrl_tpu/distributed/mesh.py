@@ -70,8 +70,8 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def offpolicy_state_shardings(mesh: Mesh, ts):
-    """Sharding pytree for an off-policy TrainState (DQN family, continuous).
+def train_state_shardings(mesh: Mesh, ts):
+    """Sharding pytree for a TrainState (DQN family, continuous, recurrent).
 
     DP design: the env batch (every rank≥1 leaf of ``vec_state``) shards on
     'data'; params/targets/opt-state/replay replicate. The replay ring AND
@@ -83,6 +83,14 @@ def offpolicy_state_shardings(mesh: Mesh, ts):
     in the learner comes from re-sharding the *sampled* minibatch onto
     'data' (see ``constrain_batch``): XLA then partitions the loss and
     psums the gradients into the replicated params automatically.
+
+    Recurrent trainer states (ppo_rnn / ppo_lstm / ppg) carry two more
+    per-env leaves, recognized by field name:
+      * ``hidden`` [B, rnn]            — RNN carry, batch on 'data'
+      * ``reward_scaler.ret`` [B]      — per-env discounted return R
+        (its RunningMeanStd over R is scalar-shaped and replicates,
+        exactly like the reference's single shared std,
+        utils/normalization.py:38-52)
     """
     rep = replicated(mesh)
     bsh = batch_sharding(mesh, 0)
@@ -97,6 +105,15 @@ def offpolicy_state_shardings(mesh: Mesh, ts):
         wsh = batch_sharding(mesh, 1)
         sh = sh._replace(
             window=jax.tree_util.tree_map(lambda _: wsh, ts.window)
+        )
+    if getattr(ts, "hidden", None) is not None:
+        sh = sh._replace(hidden=bsh)
+    if getattr(ts, "reward_scaler", None) is not None:
+        sh = sh._replace(
+            reward_scaler=jax.tree_util.tree_map(
+                lambda x: bsh if jax.numpy.ndim(x) >= 1 else rep,
+                ts.reward_scaler,
+            )
         )
     return sh
 

@@ -30,26 +30,34 @@ from gymrl_tpu.envs.base import Env, StepResult
 
 
 def rasterize_segment(h: int, w: int, x0, y0, x1, y1, thickness: float):
-    """Anti-alias-free segment rasterizer: [h, w] mask of pixels within
-    ``thickness`` of the segment (x, y in pixel coords). Pure jnp, static
-    shapes — vmaps over envs inside jit."""
+    """Anti-aliased segment rasterizer: [h, w] coverage of pixels within
+    ``thickness`` of the segment (x, y in pixel coords), with a 1-px soft
+    edge (coverage falls linearly from 1 at dist=thickness−0.5 to 0 at
+    thickness+0.5). Pure jnp, static shapes — vmaps over envs inside jit.
+
+    The soft edge matters for learning-from-pixels: binary masks make
+    intensities a STEP function of the underlying state, so sub-pixel
+    motion (a 0.3 px pole-tip shift per degree at 48×48) is invisible;
+    AA coverage is continuous in state and recovers it (round-4 fix for
+    the dqn_cartpole_pixels plateau — CURVES_r3.jsonl:1-2)."""
     rows = jnp.arange(h, dtype=jnp.float32)[:, None]
     cols = jnp.arange(w, dtype=jnp.float32)[None, :]
     dx, dy = x1 - x0, y1 - y0
     len2 = dx * dx + dy * dy + 1e-8
     t = jnp.clip(((cols - x0) * dx + (rows - y0) * dy) / len2, 0.0, 1.0)
     px, py = x0 + t * dx, y0 + t * dy
-    dist2 = (cols - px) ** 2 + (rows - py) ** 2
-    return (dist2 <= thickness * thickness).astype(jnp.float32)
+    dist = jnp.sqrt((cols - px) ** 2 + (rows - py) ** 2)
+    return jnp.clip(thickness + 0.5 - dist, 0.0, 1.0)
 
 
 def rasterize_box(h: int, w: int, cx, cy, half_w, half_h):
-    """[h, w] mask of an axis-aligned box centered at (cx, cy) pixel coords."""
+    """[h, w] anti-aliased coverage of an axis-aligned box centered at
+    (cx, cy) pixel coords (1-px soft edge per axis, see rasterize_segment)."""
     rows = jnp.arange(h, dtype=jnp.float32)[:, None]
     cols = jnp.arange(w, dtype=jnp.float32)[None, :]
-    return (
-        (jnp.abs(cols - cx) <= half_w) & (jnp.abs(rows - cy) <= half_h)
-    ).astype(jnp.float32)
+    cov_x = jnp.clip(half_w + 0.5 - jnp.abs(cols - cx), 0.0, 1.0)
+    cov_y = jnp.clip(half_h + 0.5 - jnp.abs(rows - cy), 0.0, 1.0)
+    return cov_x * cov_y
 
 
 class PixelState(NamedTuple):

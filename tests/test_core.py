@@ -177,3 +177,30 @@ def test_schedules():
     # rainbow lr decay
     np.testing.assert_allclose(ref_lr_decay(0, 100, 1e-3), 1e-3)
     np.testing.assert_allclose(ref_lr_decay(100, 100, 1e-3), 1e-4, rtol=1e-6)
+
+
+def test_pack_fields_roundtrip(rng):
+    """pack_fields/unpack_fields: exact roundtrip for f32 + i32 leaves of
+    mixed trailing shapes (the recurrent trainers' packed epoch shuffle)."""
+    import jax
+    from gymrl_tpu.algos.base import pack_fields, unpack_fields
+
+    n = 16
+    data = {
+        "obs": jax.random.normal(jax.random.PRNGKey(0), (n, 8, 5)),
+        "action": jax.random.randint(jax.random.PRNGKey(1), (n, 8), 0, 4),
+        "logp": jax.random.normal(jax.random.PRNGKey(2), (n, 8)),
+        "h0": jax.random.normal(jax.random.PRNGKey(3), (n, 7)),
+    }
+    packed, spec = pack_fields(data)
+    assert packed.shape == (n, 8 * 5 + 8 + 8 + 7)
+    out = unpack_fields(packed, spec)
+    for k in data:
+        assert out[k].dtype == data[k].dtype, k
+        np.testing.assert_array_equal(np.asarray(out[k]), np.asarray(data[k]))
+
+    # permutation-then-unpack == unpack-then-permutation (shuffle equivalence)
+    perm = jax.random.permutation(jax.random.PRNGKey(4), n)
+    out_p = unpack_fields(packed[perm], spec)
+    np.testing.assert_array_equal(np.asarray(out_p["action"]),
+                                  np.asarray(data["action"][perm]))

@@ -1,7 +1,7 @@
 """DP sharding beyond PPO: DQN family, rainbow (PER + n-step window),
 continuous SAC — plus the multi-host bootstrap smoke test.
 
-Design under test (distributed.mesh.offpolicy_state_shardings): env batch
+Design under test (distributed.mesh.train_state_shardings): env batch
 sharded on 'data', replay + PER sum-tree replicated (global prioritized
 sampling stays exact), sampled learner minibatch re-sharded onto 'data'
 so XLA psums gradients into the replicated params.
@@ -72,6 +72,86 @@ def test_sac_sharded_mesh_runs():
     for k, v in out.metrics.items():
         assert np.isfinite(float(v)), k
     assert int(ts.env_steps) == 16 * 8
+
+
+def test_ppo_rnn_sharded_mesh_runs():
+    """Recurrent PPO DP layout: env batch + GRU hidden carry + per-env
+    reward-scaler returns shard on 'data'; params/obs-RMS replicate."""
+    from gymrl_tpu.algos.ppo_rnn import PPORNNConfig, PPORNNTrainer
+
+    mesh = make_mesh()
+    cfg = PPORNNConfig(env_name="CartPole-v1", num_envs=16, rollout_steps=16,
+                       seq_len=8, seq_minibatch=16, num_epochs=2)
+    trainer = PPORNNTrainer(cfg, mesh=mesh)
+    ts = trainer.init(jax.random.PRNGKey(0))
+    _assert_data_sharded(ts.vec_state.obs)
+    _assert_data_sharded(ts.hidden)
+    _assert_data_sharded(ts.reward_scaler.ret)
+    assert ts.obs_rms.mean.sharding.is_fully_replicated
+    ts, out = trainer.train_iter(ts)
+    for k, v in out.metrics.items():
+        assert np.isfinite(float(v)), k
+    assert int(ts.env_steps) == 16 * 16
+    ts, _ = trainer.train_iter(ts)
+    assert int(ts.env_steps) == 2 * 16 * 16
+
+
+def test_ppo_rnn_sharded_matches_unsharded():
+    """One sharded train_iter reproduces the single-device params to
+    reduction-order tolerance (same seed, same program semantics)."""
+    from gymrl_tpu.algos.ppo_rnn import PPORNNConfig, PPORNNTrainer
+
+    cfg = PPORNNConfig(env_name="CartPole-v1", num_envs=8, rollout_steps=8,
+                       seq_len=8, seq_minibatch=8, num_epochs=2)
+    ref = PPORNNTrainer(cfg)
+    rts = ref.init(jax.random.PRNGKey(3))
+    rts, _ = ref.train_iter(rts)
+
+    sh = PPORNNTrainer(cfg, mesh=make_mesh())
+    sts = sh.init(jax.random.PRNGKey(3))
+    sts, _ = sh.train_iter(sts)
+
+    flat_r = jax.tree_util.tree_leaves(rts.params)
+    flat_s = jax.tree_util.tree_leaves(sts.params)
+    for r, s in zip(flat_r, flat_s):
+        np.testing.assert_allclose(np.asarray(r), np.asarray(s), atol=1e-4, rtol=1e-3)
+
+
+def test_ppo_lstm_sharded_mesh_runs():
+    """The hardest layout (RND + mHC + URNN, ref ppo_lstm_lunarlander.py
+    :679-708): full-tricks recurrent train step over an 8-device data mesh."""
+    from gymrl_tpu.algos.ppo_lstm import PPOLSTMConfig, PPOLSTMTrainer
+
+    mesh = make_mesh()
+    cfg = PPOLSTMConfig(
+        env_name="LunarLander-v3", num_envs=16, rollout_steps=16, seq_len=8,
+        seq_minibatch=32, num_epochs=2, mhc_dim=32, mhc_layers=1, mhc_sk_it=3,
+        rnn_hidden=32, rnd_embed=32,
+    )
+    trainer = PPOLSTMTrainer(cfg, mesh=mesh)
+    ts = trainer.init(jax.random.PRNGKey(0))
+    _assert_data_sharded(ts.vec_state.obs)
+    _assert_data_sharded(ts.hidden)
+    ts, out = trainer.train_iter(ts)
+    for k, v in out.metrics.items():
+        assert np.isfinite(float(v)), k
+    assert int(ts.env_steps) == 16 * 16
+
+
+def test_ppg_sharded_mesh_runs():
+    """PPG (policy + aux phases) inherits the recurrent DP layout."""
+    from gymrl_tpu.algos.ppg import PPGConfig, PPGTrainer
+
+    mesh = make_mesh()
+    cfg = PPGConfig(env_name="LunarLander-v3", num_envs=16, rollout_steps=16,
+                    seq_len=8, seq_minibatch=32, num_epochs=2, aux_epochs=2)
+    trainer = PPGTrainer(cfg, mesh=mesh)
+    ts = trainer.init(jax.random.PRNGKey(0))
+    _assert_data_sharded(ts.vec_state.obs)
+    _assert_data_sharded(ts.hidden)
+    ts, out = trainer.train_iter(ts)
+    for k, v in out.metrics.items():
+        assert np.isfinite(float(v)), k
 
 
 _WORKER = textwrap.dedent("""

@@ -15,10 +15,28 @@ from gymrl_tpu.envs.registry import make, make_vec
 
 def test_rasterizers():
     box = np.asarray(rasterize_box(16, 16, 8.0, 8.0, 2.0, 1.0))
-    assert box[8, 8] == 1.0 and box[8, 6] == 1.0 and box[8, 11] == 0.0
-    assert box[9, 8] == 1.0 and box[10, 8] == 0.0
+    assert box[8, 8] == 1.0 and box[8, 11] == 0.0 and box[10, 8] == 0.0
+    assert 0.0 < box[8, 6] < 1.0 and 0.0 < box[9, 8] < 1.0  # AA soft edge
     seg = np.asarray(rasterize_segment(16, 16, 2.0, 2.0, 13.0, 13.0, 1.0))
     assert seg[5, 5] == 1.0 and seg[2, 13] == 0.0  # on/off the diagonal
+
+
+def test_rasterizers_subpixel_motion():
+    """AA coverage must change CONTINUOUSLY under sub-pixel translation —
+    the property that lets pixel agents see small state changes (binary
+    masks are step functions and hide them)."""
+    a = np.asarray(rasterize_box(16, 16, 8.0, 8.0, 2.0, 1.0))
+    b = np.asarray(rasterize_box(16, 16, 8.3, 8.0, 2.0, 1.0))
+    diff = np.abs(a - b).sum()
+    assert 0.0 < diff < 4.0, diff  # visible but small
+    # center of mass tracks the 0.3-px shift
+    cols = np.arange(16, dtype=np.float64)
+    com_a = (a.sum(0) * cols).sum() / a.sum()
+    com_b = (b.sum(0) * cols).sum() / b.sum()
+    assert 0.1 < com_b - com_a < 0.5
+    s0 = np.asarray(rasterize_segment(16, 16, 8.0, 2.0, 8.0, 13.0, 1.2))
+    s1 = np.asarray(rasterize_segment(16, 16, 8.25, 2.0, 8.25, 13.0, 1.2))
+    assert 0.0 < np.abs(s0 - s1).sum() < 8.0
 
 
 def test_pixel_cartpole_reset_and_step_shapes():
