@@ -62,6 +62,7 @@ def run_cell(name: str, seed: int):
         "avg100": round(stats["avg100"], 1),
         "wall_s": round(time.time() - t0, 1),
         "seed": seed,
+        "curve": stats["curve"][:: max(1, len(stats["curve"]) // 40)],
     }
 
 

@@ -41,9 +41,21 @@ def build(name):
         from gymrl_tpu.algos.ppo_rnn import PPORNNTrainer, ppo_rnn_flappybird_config
         cfg = ppo_rnn_flappybird_config(max_train_steps=5_000_000)
         return PPORNNTrainer(cfg), None, 2.0
+    if name == "ppo_rnn_flappybird_chunk":
+        # ablation arm: r4 gamma=0.995 parity fix but with the r3 chunk-BPTT
+        # scheme — separates the gamma fix from the whole-episode change
+        from gymrl_tpu.algos.ppo_rnn import PPORNNTrainer, ppo_rnn_flappybird_config
+        cfg = ppo_rnn_flappybird_config(max_train_steps=5_000_000,
+                                        whole_episode_bptt=False)
+        return PPORNNTrainer(cfg), None, 2.0
     if name == "dqn_cartpole_pixels":
         from gymrl_tpu.algos.dqn_variants import DQNFamilyTrainer, dqn_pixels_config
         cfg = dqn_pixels_config(max_train_steps=1_000_000)
+        return DQNFamilyTrainer(cfg), 495.0, 50.0
+    if name == "dqn_cartpole_pixels_3m":
+        # the r4 AA+uint8 config was still climbing at the 1M cap
+        from gymrl_tpu.algos.dqn_variants import DQNFamilyTrainer, dqn_pixels_config
+        cfg = dqn_pixels_config(max_train_steps=3_000_000)
         return DQNFamilyTrainer(cfg), 495.0, 50.0
     raise KeyError(name)
 

@@ -82,35 +82,46 @@ def main():
     adv, v_target = gae_only(ts.params, roll)
     jax.block_until_ready(adv)
 
-    # -- phase 3: SGD epochs only (fixed data)
+    # -- phase 3: SGD epochs only (fixed data), PACKED shuffle — mirrors
+    # the shipped _train_iter path exactly (an earlier version measured the
+    # pre-r3 leaf-by-leaf pytree shuffle here, overstating this phase by
+    # ~60 ms vs the fused program)
+    from gymrl_tpu.algos.ppo import MinibatchData
+
     @jax.jit
     def sgd_only(ts, roll, adv, v_target):
         import optax
-        from jax import tree_util as jtu
 
-        flat = jtu.tree_map(
-            lambda x: x.reshape((cfg.batch_total,) + x.shape[2:]), roll
+        obs_dim = roll.obs.shape[-1]
+        n = cfg.batch_total
+        packed = jnp.concatenate(
+            [
+                roll.obs.reshape(n, obs_dim),
+                roll.action.reshape(n).astype(jnp.float32)[:, None],
+                roll.logp.reshape(n)[:, None],
+                adv.reshape(n)[:, None],
+                v_target.reshape(n)[:, None],
+            ],
+            axis=1,
         )
-        adv_flat = adv.reshape(-1)
-        ret_flat = v_target.reshape(-1)
 
         def epoch(carry, k_epoch):
             params, opt_state = carry
-            perm = jax.random.permutation(k_epoch, cfg.batch_total)
-
-            def to_mb(x):
-                return x[perm].reshape(
-                    (cfg.num_minibatches, cfg.minibatch_size) + x.shape[1:]
-                )
-
-            mb_xs = (jtu.tree_map(to_mb, flat), to_mb(adv_flat), to_mb(ret_flat))
+            perm = jax.random.permutation(k_epoch, n)
+            mb_xs = packed[perm].reshape(
+                (cfg.num_minibatches, cfg.minibatch_size, obs_dim + 4)
+            )
 
             def minibatch(carry, mb):
                 params, opt_state = carry
-                batch, adv_mb, ret_mb = mb
+                batch = MinibatchData(
+                    obs=mb[:, :obs_dim],
+                    action=mb[:, obs_dim].astype(jnp.int32),
+                    logp=mb[:, obs_dim + 1],
+                )
                 (_, metrics), grads = jax.value_and_grad(
                     trainer._loss, has_aux=True
-                )(params, batch, adv_mb, ret_mb)
+                )(params, batch, mb[:, obs_dim + 2], mb[:, obs_dim + 3])
                 updates, opt_state = trainer.tx.update(grads, opt_state, params)
                 params = optax.apply_updates(params, updates)
                 return (params, opt_state), metrics

@@ -80,12 +80,12 @@ def build(name):
     if name == "ddqn_per_cartpole":
         from gymrl_tpu.algos.dqn_variants import DQNFamilyTrainer, ddqn_per_config
         cfg = ddqn_per_config(num_envs=128, steps_per_iter=64, updates_per_step=2,
-                              epsilon_decay=20_000.0)
+                              epsilon_decay=20_000.0, max_train_steps=3_000_000)
         return DQNFamilyTrainer(cfg), 495.0
     if name == "ddqn_per_duel_cartpole":
         from gymrl_tpu.algos.dqn_variants import DQNFamilyTrainer, ddqn_per_duel_config
         cfg = ddqn_per_duel_config(num_envs=128, steps_per_iter=64, updates_per_step=2,
-                                   epsilon_decay=20_000.0)
+                                   epsilon_decay=20_000.0, max_train_steps=3_000_000)
         return DQNFamilyTrainer(cfg), 495.0
     if name == "noisy_dqn_cartpole":
         from gymrl_tpu.algos.dqn_variants import DQNFamilyTrainer, noisy_dqn_config
@@ -102,7 +102,7 @@ def build(name):
         # binding constraint (ABLATION_rainbow_r3.json); solves CartPole
         from gymrl_tpu.algos.dqn_variants import DQNFamilyTrainer, rainbow_config
         cfg = rainbow_config(num_envs=128, steps_per_iter=64, updates_per_step=16,
-                             gamma=0.99)
+                             gamma=0.99, max_train_steps=1_000_000)
         return DQNFamilyTrainer(cfg), 495.0
     if name == "sac_pendulum":
         from gymrl_tpu.algos.continuous import SACTrainer, sac_config
@@ -127,6 +127,7 @@ def build(name):
 def main(argv):
     out_path = None
     seeds = [0]
+    log_every = 50
     names = []
     it = iter(argv)
     for a in it:
@@ -136,6 +137,10 @@ def main(argv):
             seeds = [int(next(it))]
         elif a == "--seeds":
             seeds = [int(s) for s in next(it).split(",")]
+        elif a == "--log-every":
+            # curve sampling density: one (env_steps, avg100) point per
+            # log_every train iterations (overlay runs want ~2-5)
+            log_every = int(next(it))
         else:
             names.append(a)
 
@@ -145,7 +150,7 @@ def main(argv):
         # (relay-expensive) XLA compile entirely
         trainer, threshold = build(name)
         for seed in seeds:
-            loop = TrainLoop(trainer, f"curve_{name}", log_metrics=False, log_every=50)
+            loop = TrainLoop(trainer, f"curve_{name}", log_metrics=False, log_every=log_every)
             ts, stats = loop.train(trainer.cfg.max_train_steps,
                                    solve_threshold=threshold, seed=seed)
             curve = stats["curve"]

@@ -35,7 +35,7 @@ import jax.numpy as jnp
 import optax
 import flax.linen as nn
 
-from gymrl_tpu.algos.base import IterOut, Trainer
+from gymrl_tpu.algos.base import IterOut, Trainer, pack_fields, unpack_fields
 from gymrl_tpu.core.gae import compute_gae_dual_lambda, standardize
 from gymrl_tpu.envs.registry import make_vec
 from gymrl_tpu.nn import initializers as gl_init
@@ -168,8 +168,13 @@ class FullRollout(NamedTuple):
 
 
 class PPOFullTrainer(Trainer):
-    def __init__(self, cfg: PPOFullConfig):
-        super().__init__(cfg)
+    """With ``mesh``: env-batch DP over 'data' (vec_state sharded, params —
+    incl. the mHC backbone — replicated) via the inherited
+    distributed.mesh.train_state_shardings layout; minibatch gradients
+    psum into the replicated params automatically."""
+
+    def __init__(self, cfg: PPOFullConfig, mesh=None):
+        super().__init__(cfg, mesh)
         self.venv = make_vec(cfg.env_name, cfg.num_envs)
         self.net = FullActorCritic(
             self.venv.env.n_actions, cfg.use_mhc, cfg.mhc_dim, cfg.mhc_rate,
@@ -180,17 +185,23 @@ class PPOFullTrainer(Trainer):
             optax.inject_hyperparams(optax.adam)(learning_rate=cfg.lr),
         )
 
-    def init(self, key) -> FullTrainState:
+    def init(self, key, _place: bool = True) -> FullTrainState:
         k_params, k_env, k_iter = jax.random.split(key, 3)
         obs_dim = self.venv.env.obs_dim
         params = self.net.init(k_params, jnp.zeros((1, obs_dim)))
-        return FullTrainState(
+        ts = FullTrainState(
             params=params,
             opt_state=self.tx.init(params),
             vec_state=self.venv.reset(k_env),
             key=k_iter,
             env_steps=jnp.zeros((), jnp.int32),
         )
+        if self.mesh is not None and _place:
+            from gymrl_tpu.distributed.mesh import train_state_shardings
+
+            sh = train_state_shardings(self.mesh, ts)
+            ts = jax.tree_util.tree_map(jax.device_put, ts, sh)
+        return ts
 
     def policy(self, ts, obs, key, deterministic: bool = True):
         logits, _ = self.net.apply(ts.params, obs)
@@ -286,6 +297,9 @@ class PPOFullTrainer(Trainer):
             "adv": adv.reshape(-1),
             "ret": returns.reshape(-1),
         }
+        # packed epoch shuffle — one wide gather, not 6 narrow leaf gathers
+        # (PROFILE_r3.md pathology; same fix as ppo.py / the recurrent family)
+        packed, spec = pack_fields(flat)
 
         # anneal lr + entropy coef with env-step progress (ref :659-666)
         progress = jnp.clip(ts.env_steps.astype(jnp.float32) / cfg.max_train_steps, 0.0, 1.0)
@@ -299,14 +313,13 @@ class PPOFullTrainer(Trainer):
         def epoch(carry, k_epoch):
             params, opt_state = carry
             k_perm, k_cov = jax.random.split(k_epoch)
-            perm = jax.random.permutation(k_perm, cfg.batch_total).reshape(
-                cfg.num_minibatches, mb_size
-            )
+            perm = jax.random.permutation(k_perm, cfg.batch_total)
+            mb_rows = packed[perm].reshape(cfg.num_minibatches, mb_size, -1)
 
             def minibatch(carry, xs):
                 params, opt_state = carry
-                idx, k_mb = xs
-                mb = {k: v[idx] for k, v in flat.items()}
+                rows, k_mb = xs
+                mb = unpack_fields(rows, spec)
                 # clip-cov sample dropping (ref :608-616); see cov_drop_mask
                 if cfg.clip_cov_ratio > 0:
                     logits, _ = self.net.apply(params, mb["obs"])
@@ -330,7 +343,7 @@ class PPOFullTrainer(Trainer):
 
             mb_keys = jax.random.split(k_cov, cfg.num_minibatches)
             (params, opt_state), metrics = jax.lax.scan(
-                minibatch, (params, opt_state), (perm, mb_keys)
+                minibatch, (params, opt_state), (mb_rows, mb_keys)
             )
             return (params, opt_state), metrics
 

@@ -138,6 +138,22 @@ def test_ppo_lstm_sharded_mesh_runs():
     assert int(ts.env_steps) == 16 * 16
 
 
+def test_ppo_full_sharded_mesh_runs():
+    """Full-tricks PPO (mHC + ERC + clip-cov + dual-λ) on the DP layout."""
+    from gymrl_tpu.algos.ppo_full import PPOFullConfig, PPOFullTrainer
+
+    mesh = make_mesh()
+    cfg = PPOFullConfig(num_envs=16, rollout_steps=16, minibatch_size=64,
+                        num_epochs=2)
+    trainer = PPOFullTrainer(cfg, mesh=mesh)
+    ts = trainer.init(jax.random.PRNGKey(0))
+    _assert_data_sharded(ts.vec_state.obs)
+    ts, out = trainer.train_iter(ts)
+    for k, v in out.metrics.items():
+        assert np.isfinite(float(v)), k
+    assert int(ts.env_steps) == 16 * 16
+
+
 def test_ppg_sharded_mesh_runs():
     """PPG (policy + aux phases) inherits the recurrent DP layout."""
     from gymrl_tpu.algos.ppg import PPGConfig, PPGTrainer

