@@ -26,7 +26,8 @@ ART = HERE / "artifacts"
 
 def main():
     matrix, profiles, bench, flatopt = [], [], None, []
-    for logname in ("tpu_session_r4.log", "tpu_session_r4b.log"):
+    for logname in ("tpu_session_r4.log", "tpu_session_r4b.log",
+                    "tpu_session_r4c.log"):
         p = ART / logname
         if not p.exists():
             continue
@@ -43,6 +44,8 @@ def main():
                 profiles.append(rec)
             elif rec.get("arm") == "baseline":
                 bench = rec["steps_per_s"]
+            elif rec.get("metric") == "ppo_lunarlander_env_steps_per_s":
+                bench = rec["value"]  # shipped bench.py line (latest wins)
             elif rec.get("arm") in ("flat", "pytree"):
                 flatopt.append(rec)
 

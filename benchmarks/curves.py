@@ -50,12 +50,33 @@ def build(name):
         return PPORNNTrainer(cfg), None, 2.0
     if name == "dqn_cartpole_pixels":
         from gymrl_tpu.algos.dqn_variants import DQNFamilyTrainer, dqn_pixels_config
-        cfg = dqn_pixels_config(max_train_steps=1_000_000)
+        # r4-initial arm (pre-stability tuning), pinned for reproducibility
+        cfg = dqn_pixels_config(max_train_steps=1_000_000, lr=3e-4,
+                                target_update_freq=500, epsilon_decay=20_000.0,
+                                lr_decay=False)
         return DQNFamilyTrainer(cfg), 495.0, 50.0
     if name == "dqn_cartpole_pixels_3m":
         # the r4 AA+uint8 config was still climbing at the 1M cap
         from gymrl_tpu.algos.dqn_variants import DQNFamilyTrainer, dqn_pixels_config
-        cfg = dqn_pixels_config(max_train_steps=3_000_000)
+        cfg = dqn_pixels_config(max_train_steps=3_000_000, lr=3e-4,
+                                target_update_freq=500, epsilon_decay=20_000.0,
+                                lr_decay=False)
+        return DQNFamilyTrainer(cfg), 495.0, 50.0
+    if name == "dqn_cartpole_pixels_stab":
+        # oscillation-damping arm: the 3M run peaks at 383 but swings like
+        # the state-based dqn curves do — lower lr, slower target sync,
+        # longer exploration to test whether stability is the last gap
+        from gymrl_tpu.algos.dqn_variants import DQNFamilyTrainer, dqn_pixels_config
+        cfg = dqn_pixels_config(max_train_steps=3_000_000, lr=1e-4,
+                                target_update_freq=1000,
+                                epsilon_decay=40_000.0, lr_decay=False)
+        return DQNFamilyTrainer(cfg), 495.0, 50.0
+    if name == "dqn_cartpole_pixels_stab2":
+        # + rainbow's lr decay: the stab arm peaked at 482 (bar 495) but
+        # collapse-recover cycles late in training kept avg100 down —
+        # decaying lr targets exactly that phase
+        from gymrl_tpu.algos.dqn_variants import DQNFamilyTrainer, dqn_pixels_config
+        cfg = dqn_pixels_config()  # == the shipped (solving) defaults
         return DQNFamilyTrainer(cfg), 495.0, 50.0
     raise KeyError(name)
 

@@ -43,6 +43,14 @@ def build(name):
         cfg = PPOConfig(env_name="LunarLander-v3", num_envs=64, rollout_steps=64,
                         minibatch_size=256, max_train_steps=10_000_000)
         return PPOTrainer(cfg), 200.0
+    if name == "ppo_lunarlander_flatopt":
+        # learning validation for the flat-optimizer option (bench default
+        # since r4) — same update math, re-associated reductions only
+        from gymrl_tpu.algos.ppo import PPOConfig, PPOTrainer
+        cfg = PPOConfig(env_name="LunarLander-v3", num_envs=64, rollout_steps=64,
+                        minibatch_size=256, max_train_steps=10_000_000,
+                        flat_optimizer=True)
+        return PPOTrainer(cfg), 200.0
     if name == "ppo_lunarlander_sgd_bf16":
         # learning validation for the mixed-precision SGD option
         from gymrl_tpu.algos.ppo import PPOConfig, PPOTrainer

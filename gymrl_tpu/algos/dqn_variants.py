@@ -633,17 +633,20 @@ def dqn_pixels_config(**kw) -> DQNFamilyConfig:
     framework's image-obs pipeline (reference capability: make_env's
     AtariPreprocessing + PyTorchFrame path, utils/runner.py:57-66).
 
-    Round-4 revision of the r3 guesses (plateau ~130, CURVES_r3.jsonl):
-    anti-aliased rendering (envs/pixels.py) exposes sub-pixel motion;
-    uint8 frame storage (obs_uint8) buys a 16k replay at the old 2k's
-    memory; ε decays over 20k steps (800 collapsed exploration within
-    ~6 vector steps of 32 envs)."""
+    Round-4 revision of the r3 guesses (plateau ~130, CURVES_r3.jsonl) —
+    these defaults SOLVE CartPole from pixels (avg100 497.5 @ 1.79M
+    env-steps, CURVES_r4.jsonl dqn_cartpole_pixels_stab2). The committed
+    arm ladder that got there: anti-aliased rendering (envs/pixels.py,
+    sub-pixel motion becomes visible) + uint8 frames (16k replay at the
+    old 2k's HBM) + slower ε reached 383 peak; lr 1e-4 + target sync
+    1000 damped the swings to 482 peak; rainbow's lr decay settles the
+    late collapse-recover cycles and solves."""
     base = dict(
         env_name="CartPolePixels-v0", trunk="conv", hidden_dim=256,
-        gamma=0.99, lr=3e-4, double=True, dueling=True, use_per=False,
+        gamma=0.99, lr=1e-4, double=True, dueling=True, use_per=False,
         num_envs=32, batch_size=32, memory_capacity=16384, obs_uint8=True,
-        epsilon_decay=20_000.0,
-        target_mode="hard_step", target_update_freq=500,
+        epsilon_decay=40_000.0, lr_decay=True, max_train_steps=3_000_000,
+        target_mode="hard_step", target_update_freq=1000,
         grad_clip_value=None, grad_clip_norm=10.0, updates_per_step=2,
     )
     base.update(kw)

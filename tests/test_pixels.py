@@ -90,9 +90,13 @@ def test_conv_dqn_learns_cartpole_pixels():
     import numpy as np
     from gymrl_tpu.algos.dqn_variants import DQNFamilyTrainer, dqn_pixels_config
 
+    # pinned fast-learning calibration (NOT the shipped solve defaults,
+    # which trade early speed for late stability: lr 1e-4 + sync 1000 +
+    # lr_decay solve at 1.79M but are too slow for a 20k-step CI check)
     cfg = dqn_pixels_config(num_envs=16, steps_per_iter=32, batch_size=64,
                             memory_capacity=4096, updates_per_step=4, lr=1e-3,
-                            epsilon_decay=4000.0)
+                            epsilon_decay=4000.0, target_update_freq=500,
+                            lr_decay=False)
     tr = DQNFamilyTrainer(cfg)
     ts = tr.init(jax.random.PRNGKey(7))
     for _ in range(40):
