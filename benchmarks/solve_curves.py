@@ -116,6 +116,15 @@ def build(name):
         from gymrl_tpu.algos.continuous import SACTrainer, sac_config
         cfg = sac_config(num_envs=64, steps_per_iter=64, updates_per_step=8)
         return SACTrainer(cfg), PENDULUM_BAR
+    if name == "sac_pendulum_ratio1":
+        # reference update:data cadence (1 update per env step,
+        # sac_pendulum.py per-step update loop): 64 updates per 64-env
+        # vector step. The shipped 1:8 config trades sample efficiency for
+        # wall clock; this arm shows the gap is the ratio, not the
+        # algorithm (overlay: ref reaches the bar by ~40k samples)
+        from gymrl_tpu.algos.continuous import SACTrainer, sac_config
+        cfg = sac_config(num_envs=64, steps_per_iter=64, updates_per_step=64)
+        return SACTrainer(cfg), PENDULUM_BAR
     if name == "td3_pendulum":
         from gymrl_tpu.algos.continuous import TD3Trainer, td3_config
         cfg = td3_config(num_envs=64, steps_per_iter=64, updates_per_step=8)
