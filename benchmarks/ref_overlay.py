@@ -54,13 +54,16 @@ def parse_ref_log(path: pathlib.Path) -> dict:
     }
 
 
-# workload -> (glob of reference-run logs, repo workload name in SOLVE jsonl)
+# workload -> (glob of reference-run logs, repo workload names in SOLVE jsonl)
 PAIRS = {
-    "ppo_lunarlander": ("refppo_run*.log", "ppo_lunarlander"),
-    "dqn_cartpole": ("refdqn_run*.log", "dqn_cartpole"),
-    "sac_pendulum": ("refsac_run*.log", "sac_pendulum"),
-    "rainbow_dqn_cartpole": ("refrainbow_run*.log", "rainbow_dqn_cartpole"),
-    "ppg_rnn_lunarlander": ("refppg_run*.log", "ppg_rnn_lunarlander"),
+    "ppo_lunarlander": ("refppo_run*.log", ["ppo_lunarlander"]),
+    # sac: both the shipped 1:8 update-ratio config and the
+    # reference-cadence 1:1 arm (sac_pendulum_ratio1) — the latter lands
+    # inside the reference's own solve band
+    "dqn_cartpole": ("refdqn_run*.log", ["dqn_cartpole"]),
+    "sac_pendulum": ("refsac_run*.log", ["sac_pendulum", "sac_pendulum_ratio1"]),
+    "rainbow_dqn_cartpole": ("refrainbow_run*.log", ["rainbow_dqn_cartpole"]),
+    "ppg_rnn_lunarlander": ("refppg_run*.log", ["ppg_rnn_lunarlander"]),
 }
 
 
@@ -89,13 +92,17 @@ def main(argv):
                 )
 
     overlay = {}
-    for name, (glob, repo_name) in PAIRS.items():
+    for name, (glob, repo_names) in PAIRS.items():
         logs = sorted(ART.glob(glob))
         if not logs:
             continue
+        runs = []
+        for rn in repo_names:
+            for r in repo_curves.get(rn, []):
+                runs.append(dict(r, workload=rn))
         overlay[name] = {
             "reference_runs": [parse_ref_log(p) for p in logs],
-            "repo_runs": repo_curves.get(repo_name, []),
+            "repo_runs": runs,
         }
 
     text = json.dumps(overlay, indent=1)
