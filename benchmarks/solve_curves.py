@@ -7,10 +7,15 @@ algorithms/ppo_full_lunarlander.py:659-666 / ppg_rnn_lunarlander.py:493
 avg100 ≥ 200); this harness reproduces that check per workload with the
 vectorized trainers. Usage:
 
-    python benchmarks/solve_curves.py [--out FILE] [--seed N] <workload> ...
+    python benchmarks/solve_curves.py [--out FILE] [--seed N | --seeds 0,1,2]
+                                      [--log-every K] <workload> ...
 
-One JSON line per workload (appended to --out if given):
-{"workload", "solved", "env_steps", "wall_s", "avg100", "seed"}.
+Seeds loop inside one process per workload (compiled train_iter reused —
+seeds 1+ skip the relay-expensive XLA compile). --log-every sets curve
+density (one point per K train iterations; overlay runs use 2-3).
+
+One JSON line per (workload, seed), appended to --out if given:
+{"workload", "solved", "env_steps", "wall_s", "avg100", "seed", "curve"}.
 """
 
 from __future__ import annotations
