@@ -39,7 +39,7 @@ reference-exact semantics.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from functools import partial
+
 
 import jax
 import jax.numpy as jnp

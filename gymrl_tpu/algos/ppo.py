@@ -29,7 +29,7 @@ GAE, and the full epoch×minibatch SGD sweep are ONE jitted program:
 from __future__ import annotations
 
 from dataclasses import dataclass
-from functools import partial
+
 from typing import Any, NamedTuple
 
 import numpy as np
@@ -47,7 +47,7 @@ from gymrl_tpu.core.normalization import (
     rms_init,
     rms_update_batch,
 )
-from gymrl_tpu.distributed.mesh import batch_sharding, replicated, shard_pytree_batch
+from gymrl_tpu.distributed.mesh import batch_sharding, replicated
 from gymrl_tpu.envs.registry import make_vec
 from gymrl_tpu.nn import initializers as gl_init
 from gymrl_tpu.nn.layers import Dense

@@ -25,7 +25,7 @@ minibatch scans), with old entropies recorded during collection.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from functools import partial
+
 from typing import Any, NamedTuple
 
 import numpy as np
