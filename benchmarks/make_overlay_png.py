@@ -24,20 +24,31 @@ import matplotlib.pyplot as plt
 BLUE, ORANGE = "#2a78d6", "#eb6834"
 INK, MUTED = "#1a1a19", "#8a897f"
 
-BARS = {"ppo_lunarlander": 200.0, "dqn_cartpole": 495.0, "sac_pendulum": -200.0}
+BARS = {
+    "ppo_lunarlander": 200.0,
+    "dqn_cartpole": 495.0,
+    "sac_pendulum": -200.0,
+    "rainbow_dqn_cartpole": 495.0,
+    "ppg_rnn_lunarlander": 200.0,
+}
 TITLES = {
     "ppo_lunarlander": "PPO — LunarLander-v3",
     "dqn_cartpole": "DQN — CartPole-v1",
     "sac_pendulum": "SAC — Pendulum-v1",
+    "rainbow_dqn_cartpole": "Rainbow — CartPole-v1 (ref-exact 1:1 + γ=.99 arm)",
+    "ppg_rnn_lunarlander": "PPG — LunarLander-v3",
 }
 
 
 def main(argv):
     overlay = json.load(open(argv[0]))
-    names = [n for n in TITLES if n in overlay]
-    fig, axes = plt.subplots(1, len(names), figsize=(4.6 * len(names), 3.4))
-    if len(names) == 1:
-        axes = [axes]
+    names = [n for n in TITLES if n in overlay and overlay[n]["repo_runs"]]
+    ncol = 3
+    nrow = (len(names) + ncol - 1) // ncol
+    fig, axes = plt.subplots(nrow, ncol, figsize=(4.6 * ncol, 3.4 * nrow))
+    axes = [ax for row in (axes if nrow > 1 else [axes]) for ax in row]
+    for ax in axes[len(names):]:
+        ax.set_visible(False)
 
     for ax, name in zip(axes, names):
         o = overlay[name]
@@ -69,7 +80,7 @@ def main(argv):
     axes[0].legend(loc="lower right", fontsize=8, frameon=False)
     fig.suptitle("Learning-curve parity: reference scripts' own runs vs gymrl-tpu "
                  "(all runs/seeds shown)", fontsize=11, color=INK)
-    fig.tight_layout(rect=(0, 0, 1, 0.93))
+    fig.tight_layout(rect=(0, 0, 1, 0.90 if len(names) > 3 else 0.93))
     fig.savefig(argv[1], dpi=150, facecolor="white")
     print("wrote", argv[1])
 

@@ -62,7 +62,12 @@ PAIRS = {
     # inside the reference's own solve band
     "dqn_cartpole": ("refdqn_run*.log", ["dqn_cartpole"]),
     "sac_pendulum": ("refsac_run*.log", ["sac_pendulum", "sac_pendulum_ratio1"]),
-    "rainbow_dqn_cartpole": ("refrainbow_run*.log", ["rainbow_dqn_cartpole"]),
+    # rainbow: the reference-exact 1:1-cadence arm (curve parity with the
+    # ref script's own plateau) plus the γ=0.99 single-deviation arm that
+    # solves — both repo curves drawn against refrainbow_run.log
+    "rainbow_dqn_cartpole": ("refrainbow_run*.log",
+                             ["rainbow_dqn_cartpole_ref1to1",
+                              "rainbow_dqn_cartpole_gamma99"]),
     "ppg_rnn_lunarlander": ("refppg_run*.log", ["ppg_rnn_lunarlander"]),
 }
 

@@ -110,6 +110,15 @@ def build(name):
         from gymrl_tpu.algos.dqn_variants import DQNFamilyTrainer, rainbow_config
         cfg = rainbow_config(num_envs=128, steps_per_iter=64, updates_per_step=16)
         return DQNFamilyTrainer(cfg), 495.0
+    if name == "rainbow_dqn_cartpole_ref1to1":
+        # reference-exact semantics AND cadence (1 update per env step) at
+        # the reference's 250k budget — the r3/r4-adjudicated curve-parity
+        # cell (ABLATION_rainbow ratio_1to1_250k), exposed here so overlay
+        # runs can record dense curves against refrainbow_run.log
+        from gymrl_tpu.algos.dqn_variants import DQNFamilyTrainer, rainbow_config
+        cfg = rainbow_config(num_envs=16, steps_per_iter=64, updates_per_step=16,
+                             max_train_steps=250_000)
+        return DQNFamilyTrainer(cfg), 495.0
     if name == "rainbow_dqn_cartpole_gamma99":
         # single documented deviation from the reference's γ=0.9 — the one
         # binding constraint (ABLATION_rainbow_r3.json); solves CartPole
