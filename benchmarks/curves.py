@@ -48,6 +48,23 @@ def build(name):
         cfg = ppo_rnn_flappybird_config(max_train_steps=5_000_000,
                                         whole_episode_bptt=False)
         return PPORNNTrainer(cfg), None, 2.0
+    if name == "ppo_rnn_flappybird_10m":
+        # extended-horizon arm: does the r4 curve keep climbing past the
+        # 5M endpoint (93.5 peak / 116.1 final across seeds)?
+        from gymrl_tpu.algos.ppo_rnn import PPORNNTrainer, ppo_rnn_flappybird_config
+        cfg = ppo_rnn_flappybird_config(max_train_steps=10_000_000)
+        return PPORNNTrainer(cfg), None, 2.0
+    if name == "noisy_dqn_flappybird_5m":
+        # matched-horizon sibling comparison for the 5M PPO-RNN runs
+        from gymrl_tpu.algos.dqn_variants import (
+            DQNFamilyTrainer,
+            noisy_dqn_flappybird_config,
+        )
+        cfg = noisy_dqn_flappybird_config(
+            num_envs=64, steps_per_iter=64, updates_per_step=8,
+            max_train_steps=5_000_000,
+        )
+        return DQNFamilyTrainer(cfg), None, 2.0
     if name == "dqn_cartpole_pixels":
         from gymrl_tpu.algos.dqn_variants import DQNFamilyTrainer, dqn_pixels_config
         # r4-initial arm (pre-stability tuning), pinned for reproducibility

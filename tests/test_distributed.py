@@ -227,3 +227,21 @@ def test_initialize_multihost_two_process_cpu(tmp_path):
     for i, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"process {i} failed:\n{out}"
         assert "TOTAL 10.0" in out, f"process {i} output:\n{out}"
+
+
+def test_flat_optimizer_mesh_rules():
+    """flat_optimizer: refuses a model-axis TP mesh (the flat master vector
+    cannot carry per-leaf TP layouts) but runs fine under pure DP."""
+    from gymrl_tpu.algos.ppo import PPOConfig, PPOTrainer
+
+    cfg = PPOConfig(env_name="CartPole-v1", num_envs=16, rollout_steps=8,
+                    minibatch_size=16, num_epochs=1, flat_optimizer=True)
+    tp = PPOTrainer(cfg, mesh=make_mesh(n_data=4, n_model=2))
+    with pytest.raises(AssertionError):
+        tp.init(jax.random.PRNGKey(0))
+
+    dp = PPOTrainer(cfg, mesh=make_mesh(n_data=8, n_model=1))
+    ts = dp.init(jax.random.PRNGKey(0))
+    _assert_data_sharded(ts.vec_state.obs)
+    ts, out = dp.train_iter(ts)
+    assert np.isfinite(float(out.metrics["policy_loss"]))
