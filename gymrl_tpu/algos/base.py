@@ -82,7 +82,11 @@ def pack_fields(data: dict) -> tuple[jax.Array, dict]:
     for k in sorted(data):
         x = data[k]
         flat = x.reshape(x.shape[0], -1)
-        assert flat.dtype in (jnp.float32, jnp.int32, jnp.bool_), flat.dtype
+        assert flat.dtype in (jnp.float32, jnp.int32, jnp.bool_), (
+            f"{k}: {flat.dtype} — int leaves ride through f32, exact only "
+            "for |v| < 2^24 (action/index-scale); add a direct int path "
+            "before packing step-count-scale fields"
+        )
         spec[k] = (off, off + flat.shape[1], x.shape[1:], x.dtype)
         off += flat.shape[1]
         cols.append(flat.astype(jnp.float32))
@@ -161,6 +165,20 @@ class Trainer:
 
     def policy(self, ts, obs, key, deterministic: bool = True):
         raise NotImplementedError
+
+    # -- carry-through policy surface ----------------------------------------
+    # The reference's render/test path threads rnn_h across env steps
+    # (utils/model.py:307-324, utils/runner.py:169-206). Stateless trainers
+    # get the trivial carry (None); recurrent trainers override both hooks
+    # so step-by-step drivers (TrainLoop.render_episode, user demo loops)
+    # actually use the policy's memory.
+    def policy_reset(self, batch: int):
+        """Initial policy carry for a fresh batch of episodes (None = stateless)."""
+        return None
+
+    def policy_step(self, ts, carry, obs, key, deterministic: bool = True):
+        """One policy step threading `carry`: returns (carry', action[b])."""
+        return carry, self.policy(ts, obs, key, deterministic)
 
     def eval_episodes(self, ts, key, n_episodes: int):
         """Deterministic eval: n parallel fresh episodes, scan to termination.

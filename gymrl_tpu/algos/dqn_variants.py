@@ -487,9 +487,11 @@ class DQNFamilyTrainer(Trainer):
                 warm = jnp.asarray(True)
 
             if cfg.obs_uint8:  # quantize frames entering the replay
+                # clip before the cast: uint8 wraps mod 256, so an env whose
+                # frames escape [0, 1] would corrupt silently (free on TPU)
                 emit = emit._replace(
-                    obs=jnp.round(emit.obs * 255.0).astype(jnp.uint8),
-                    next_obs=jnp.round(emit.next_obs * 255.0).astype(jnp.uint8),
+                    obs=jnp.clip(jnp.round(emit.obs * 255.0), 0.0, 255.0).astype(jnp.uint8),
+                    next_obs=jnp.clip(jnp.round(emit.next_obs * 255.0), 0.0, 255.0).astype(jnp.uint8),
                 )
             push = per_push_batch if cfg.use_per else replay_push_batch
             replay = jax.lax.cond(

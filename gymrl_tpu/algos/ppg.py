@@ -193,7 +193,11 @@ class PPGTrainer(PPORNNTrainer):
                     jax.nn.log_softmax(anchor_logits)
                 ),
             )
-        aux_packed, aux_spec = pack_fields(data)
+            aux_packed, aux_spec = pack_fields(data)
+        else:
+            # no anchor field added — reuse phase 1's packed matrix rather
+            # than relying on XLA CSE to dedupe a full-buffer concatenate
+            aux_packed, aux_spec = packed, spec
 
         def phase2_epoch(carry, k_epoch):
             params, opt_state = carry

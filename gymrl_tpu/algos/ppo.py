@@ -184,6 +184,12 @@ class PPOTrainer(Trainer):
     def __init__(self, cfg: PPOConfig, mesh=None):
         super().__init__(cfg)
         self.mesh = mesh
+        # Guard here as well as in init(): a trainer fed an externally
+        # built/restored TrainState never calls init(), but always __init__.
+        if cfg.flat_optimizer:
+            assert mesh is None or mesh.shape.get("model", 1) == 1, (
+                "flat_optimizer is incompatible with model-axis TP"
+            )
         self.venv = make_vec(cfg.env_name, cfg.num_envs)
         self.net = ActorCritic(self.venv.env.n_actions, cfg.hidden_dim)
         # inject_hyperparams exposes lr for in-jit annealing (ref :337-341)

@@ -41,6 +41,9 @@ from gymrl_tpu.algos.base import IterOut, Trainer, masked_mean, pack_fields, unp
 from gymrl_tpu.core.gae import compute_gae_dual_lambda, standardize
 from gymrl_tpu.envs.registry import make_vec
 from gymrl_tpu.nn.layers import PSCN
+from gymrl_tpu.utils.logging import get_logger
+
+logger = get_logger()
 from gymrl_tpu.nn.mhc import MHCBackbone
 from gymrl_tpu.nn.recurrent import URNNCell
 from gymrl_tpu.algos.ppo_full import SiluRMSMLP
@@ -204,12 +207,31 @@ class PPOLSTMTrainer(Trainer):
         return ts
 
     def policy(self, ts, obs, key, deterministic: bool = True):
+        """MEMORYLESS single-shot view (packed LSTM carry = 0 every call) —
+        use policy_step / eval_episodes for real recurrent behavior."""
+        if not getattr(self, "_warned_stateless_policy", False):
+            logger.warning(
+                "PPOLSTMTrainer.policy() is memoryless (carry=0 each call); "
+                "use policy_step/eval_episodes for recurrent eval"
+            )
+            self._warned_stateless_policy = True
         b = obs.shape[0]
         h = jnp.zeros((b, self.net.packed_hidden), jnp.float32)
         _, logits, _, _, _ = self.net.apply(ts.params, h, obs)
         if deterministic:
             return jnp.argmax(logits, axis=-1).astype(jnp.int32)
         return jax.random.categorical(key, logits).astype(jnp.int32)
+
+    def policy_reset(self, batch: int):
+        """Fresh packed (h, c) carry (ref utils/model.py:307-324)."""
+        return jnp.zeros((batch, self.net.packed_hidden), jnp.float32)
+
+    def policy_step(self, ts, carry, obs, key, deterministic: bool = True):
+        """Carry-through recurrent policy (ref utils/runner.py:169-206)."""
+        h, logits, _, _, _ = self.net.apply(ts.params, carry, obs)
+        if deterministic:
+            return h, jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        return h, jax.random.categorical(key, logits).astype(jnp.int32)
 
     def eval_episodes(self, ts, key, n_episodes: int):
         fn = self._eval_cache.get(n_episodes)

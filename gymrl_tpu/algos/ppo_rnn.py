@@ -51,6 +51,9 @@ from gymrl_tpu.core.normalization import (
     rms_update_batch,
 )
 from gymrl_tpu.envs.registry import make_vec
+from gymrl_tpu.utils.logging import get_logger
+
+logger = get_logger()
 from gymrl_tpu.nn.layers import MLP, PSCN
 from gymrl_tpu.nn.recurrent import MLPRNNCell
 
@@ -202,7 +205,16 @@ class PPORNNTrainer(Trainer):
         return self.net.apply(params, h, x)
 
     def policy(self, ts, obs, key, deterministic: bool = True):
-        """Stateless eval policy view — for recurrent eval use eval_episodes."""
+        """MEMORYLESS single-shot view (h=0 every call) — a recurrent policy
+        evaluated this way ignores its GRU memory. Use policy_step /
+        eval_episodes for real recurrent behavior; this exists only for
+        API uniformity with feedforward trainers."""
+        if not getattr(self, "_warned_stateless_policy", False):
+            logger.warning(
+                f"{type(self).__name__}.policy() is memoryless (h=0 each "
+                "call); use policy_step/eval_episodes for recurrent eval"
+            )
+            self._warned_stateless_policy = True
         nobs = self._norm(ts.obs_rms, obs)
         b = obs.shape[0]
         h = jnp.zeros((b, self.net.rnn_size), jnp.float32)
@@ -210,6 +222,19 @@ class PPORNNTrainer(Trainer):
         if deterministic:
             return jnp.argmax(logits, axis=-1).astype(jnp.int32)
         return jax.random.categorical(key, logits).astype(jnp.int32)
+
+    def policy_reset(self, batch: int):
+        """Fresh GRU hidden (ref utils/model.py:307-324 `begin_task`)."""
+        return jnp.zeros((batch, self.net.rnn_size), jnp.float32)
+
+    def policy_step(self, ts, carry, obs, key, deterministic: bool = True):
+        """Carry-through recurrent policy (ref utils/runner.py:169-206
+        threads rnn_h across the test loop)."""
+        nobs = self._norm(ts.obs_rms, obs)
+        h, logits, _ = self._apply_cell(ts.params, carry, nobs)
+        if deterministic:
+            return h, jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        return h, jax.random.categorical(key, logits).astype(jnp.int32)
 
     def eval_episodes(self, ts, key, n_episodes: int):
         """Recurrent eval: carries the GRU hidden through each episode."""

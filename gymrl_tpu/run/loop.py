@@ -181,9 +181,16 @@ class TrainLoop:
         key = jax.random.PRNGKey(seed)
         state, obs = jax.jit(env.reset)(params, key)
         frames = [render(env, jax.device_get(state))]
+        # carry-through policy: recurrent trainers thread their GRU/LSTM
+        # hidden across steps (ref utils/runner.py:169-206); feedforward
+        # trainers get carry=None and behave exactly as before
+        carry = self.trainer.policy_reset(1)
         for _ in range(min(max_frames, env.max_steps)):
             key, k_act, k_step = jax.random.split(key, 3)
-            action = self.trainer.policy(ts, obs[None, ...], k_act, deterministic=True)[0]
+            carry, action = self.trainer.policy_step(
+                ts, carry, obs[None, ...], k_act, deterministic=True
+            )
+            action = action[0]
             sr = step(params, state, action, k_step)
             state, obs = sr.state, sr.obs
             frames.append(render(env, jax.device_get(state)))

@@ -117,6 +117,32 @@ def test_ppo_rnn_sharded_matches_unsharded():
         np.testing.assert_allclose(np.asarray(r), np.asarray(s), atol=1e-4, rtol=1e-3)
 
 
+def test_ppo_tp_sharded_matches_unsharded():
+    """TP numerical parity (VERDICT r4 #4): a 4×2 DP×TP train_iter must
+    reproduce single-device params to reduction-order tolerance — certifying
+    the Megatron trunk split's math (column-split shared_0, row-split
+    shared_1, all-reduce after), not just its compilability."""
+    from gymrl_tpu.algos.ppo import PPOConfig, PPOTrainer
+
+    cfg = PPOConfig(env_name="CartPole-v1", num_envs=8, rollout_steps=16,
+                    minibatch_size=32, num_epochs=2)
+    ref = PPOTrainer(cfg)
+    rts = ref.init(jax.random.PRNGKey(5))
+    rts, _ = ref.train_iter(rts)
+
+    sh = PPOTrainer(cfg, mesh=make_mesh(n_data=4, n_model=2))
+    sts = sh.init(jax.random.PRNGKey(5))
+    # the TP layout actually splits the trunk over 'model'
+    trunk_kernel = sts.params["params"]["shared_0"]["kernel"]
+    assert not trunk_kernel.sharding.is_fully_replicated
+    sts, _ = sh.train_iter(sts)
+
+    flat_r = jax.tree_util.tree_leaves(rts.params)
+    flat_s = jax.tree_util.tree_leaves(sts.params)
+    for r, s in zip(flat_r, flat_s):
+        np.testing.assert_allclose(np.asarray(r), np.asarray(s), atol=1e-4, rtol=1e-3)
+
+
 def test_ppo_lstm_sharded_mesh_runs():
     """The hardest layout (RND + mHC + URNN, ref ppo_lstm_lunarlander.py
     :679-708): full-tricks recurrent train step over an 8-device data mesh."""

@@ -50,6 +50,31 @@ def test_train_iter_shapes_and_metrics():
     assert 0.5 < float(out.metrics["entropy"]) <= 0.70
 
 
+def test_flat_optimizer_matches_pytree():
+    """flat_optimizer is a representation change, not a numerics change:
+    same seed, 3 train_iters, params must agree to reduction-order noise
+    (ADVICE r4 — guards bench/solve numerics against silent drift)."""
+    tr_flat = PPOTrainer(small_cfg(flat_optimizer=True))
+    tr_tree = PPOTrainer(small_cfg())
+    ts_f = tr_flat.init(jax.random.PRNGKey(7))
+    ts_t = tr_tree.init(jax.random.PRNGKey(7))
+    for _ in range(3):
+        ts_f, _ = tr_flat.train_iter(ts_f)
+        ts_t, _ = tr_tree.train_iter(ts_t)
+    flat_leaves = jax.tree_util.tree_leaves(ts_f.params)
+    tree_leaves = jax.tree_util.tree_leaves(ts_t.params)
+    for a, b in zip(flat_leaves, tree_leaves):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_flat_optimizer_refuses_tp_mesh_at_construction():
+    """The TP guard must fire in __init__, not only init() — a restored
+    TrainState skips init() entirely (ADVICE r4)."""
+    mesh = make_mesh(n_data=4, n_model=2)
+    with pytest.raises(AssertionError, match="flat_optimizer"):
+        PPOTrainer(small_cfg(flat_optimizer=True), mesh=mesh)
+
+
 def test_lr_anneal_progresses():
     trainer = PPOTrainer(small_cfg(max_train_steps=2048))
     ts = trainer.init(jax.random.PRNGKey(0))

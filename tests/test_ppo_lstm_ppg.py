@@ -89,6 +89,28 @@ def test_lstm_eval():
     assert np.all(np.asarray(returns) >= 1)
 
 
+def test_lstm_policy_step_carries_hidden():
+    """Carry-through policy API on the LSTM family (VERDICT r4 #3): the
+    packed (h, c) carry evolves, and PPG (PPORNNTrainer subclass) inherits
+    the same surface through _apply_cell."""
+    trainer = PPOLSTMTrainer(lstm_cfg())
+    ts = trainer.init(jax.random.PRNGKey(0))
+    obs = jnp.ones((1, trainer.venv.env.obs_dim))
+    key = jax.random.PRNGKey(1)
+    c0 = trainer.policy_reset(1)
+    assert c0.shape == (1, trainer.net.packed_hidden)
+    c1, _ = trainer.policy_step(ts, c0, obs, key)
+    c2, _ = trainer.policy_step(ts, c1, obs, key)
+    assert not np.allclose(np.asarray(c1), np.asarray(c0))
+    assert not np.allclose(np.asarray(c2), np.asarray(c1))
+
+    ppg = PPGTrainer(PPGConfig(env_name="CartPole-v1", num_envs=4, rollout_steps=16))
+    pts = ppg.init(jax.random.PRNGKey(0))
+    pc0 = ppg.policy_reset(1)
+    pc1, _ = ppg.policy_step(pts, pc0, obs, key)
+    assert not np.allclose(np.asarray(pc1), np.asarray(pc0))
+
+
 def test_ppo_lstm_learns_cartpole():
     """Bounded CI learning check for the LSTM trick stack (RND + value-clip +
     masked-ERC + stored-hidden chunks): must clearly beat random. The full

@@ -82,6 +82,59 @@ def test_recurrent_eval_runs():
     assert np.all(np.asarray(returns) >= 1)
 
 
+def test_policy_step_carries_hidden():
+    """The carry-through policy API threads the GRU hidden (VERDICT r4 #3):
+    the carry must evolve step to step, and step 1 from the threaded carry
+    must equal applying the cell manually — while the stateless policy()
+    view stays pinned at h=0."""
+    trainer = PPORNNTrainer(small_cfg())
+    ts = trainer.init(jax.random.PRNGKey(0))
+    obs = jnp.ones((1, trainer.venv.env.obs_dim))
+    key = jax.random.PRNGKey(1)
+
+    c0 = trainer.policy_reset(1)
+    assert c0.shape == (1, trainer.net.rnn_size)
+    c1, a1 = trainer.policy_step(ts, c0, obs, key)
+    c2, a2 = trainer.policy_step(ts, c1, obs, key)
+    assert not np.allclose(np.asarray(c1), np.asarray(c0))
+    assert not np.allclose(np.asarray(c2), np.asarray(c1))
+    # threaded step == manual cell application from the threaded carry
+    nobs = trainer._norm(ts.obs_rms, obs)
+    h_manual, logits_manual, _ = trainer._apply_cell(ts.params, c1, nobs)
+    np.testing.assert_allclose(np.asarray(c2), np.asarray(h_manual), rtol=1e-6)
+    np.testing.assert_array_equal(
+        np.asarray(a2), np.argmax(np.asarray(logits_manual), axis=-1)
+    )
+    # stateless view = policy_step from a fresh carry, every call
+    a_stateless = trainer.policy(ts, obs, key)
+    _, a_fresh = trainer.policy_step(ts, trainer.policy_reset(1), obs, key)
+    np.testing.assert_array_equal(np.asarray(a_stateless), np.asarray(a_fresh))
+
+
+def test_render_episode_threads_carry(monkeypatch, tmp_path):
+    """TrainLoop.render_episode must drive recurrent policies through
+    policy_step (memoryful), not the stateless policy()."""
+    from gymrl_tpu.run.loop import TrainLoop
+
+    trainer = PPORNNTrainer(small_cfg(env_name="CartPole-v1"))
+    ts = trainer.init(jax.random.PRNGKey(0))
+    seen_carries = []
+    orig = type(trainer).policy_step
+
+    def spy(self, ts, carry, obs, key, deterministic=True):
+        seen_carries.append(np.asarray(carry))
+        return orig(self, ts, carry, obs, key, deterministic)
+
+    monkeypatch.setattr(type(trainer), "policy_step", spy)
+    monkeypatch.chdir(tmp_path)
+    loop = TrainLoop(trainer, "ppo_rnn", log_metrics=False)
+    loop.render_episode(ts, max_frames=5)
+    assert len(seen_carries) >= 2
+    # first call gets the fresh zero carry; later calls a non-zero one
+    assert not seen_carries[0].any()
+    assert any(c.any() for c in seen_carries[1:])
+
+
 def test_ppo_rnn_learns_cartpole():
     cfg = small_cfg(num_envs=16, rollout_steps=64, seq_len=8, seq_minibatch=32,
                     num_epochs=4)
