@@ -90,6 +90,15 @@ def build(name):
             episode_rows_per_env=8, seq_minibatch=64,
         )
         return PPORNNTrainer(cfg), 200.0
+    if name == "ppo_rnn_we_lunarlander_flatopt":
+        # learning validation for flat_optimizer on the recurrent family
+        # (r5): same whole-episode solve config, flat master-vector Adam
+        from gymrl_tpu.algos.ppo_rnn import PPORNNTrainer, ppo_rnn_lunarlander_config
+        cfg = ppo_rnn_lunarlander_config(
+            max_train_steps=10_000_000, whole_episode_bptt=True,
+            episode_rows_per_env=8, seq_minibatch=64, flat_optimizer=True,
+        )
+        return PPORNNTrainer(cfg), 200.0
     if name == "ddqn_per_cartpole":
         from gymrl_tpu.algos.dqn_variants import DQNFamilyTrainer, ddqn_per_config
         cfg = ddqn_per_config(num_envs=128, steps_per_iter=64, updates_per_step=2,
@@ -99,6 +108,44 @@ def build(name):
         from gymrl_tpu.algos.dqn_variants import DQNFamilyTrainer, ddqn_per_duel_config
         cfg = ddqn_per_duel_config(num_envs=128, steps_per_iter=64, updates_per_step=2,
                                    epsilon_decay=20_000.0, max_train_steps=3_000_000)
+        return DQNFamilyTrainer(cfg), 495.0
+    if name == "ddqn_per_cartpole_ref1to1":
+        # reference-exact semantics AND cadence (1 update per env step,
+        # ε-decay 800 as in ddqn_per_cartpole.py:40-42) at the reference
+        # run's own ~90k-step budget — the rainbow curve-parity instrument
+        # applied to the DDQN-PER pair (VERDICT r4 #1)
+        from gymrl_tpu.algos.dqn_variants import DQNFamilyTrainer, ddqn_per_config
+        cfg = ddqn_per_config(num_envs=16, steps_per_iter=64, updates_per_step=16,
+                              max_train_steps=100_000)
+        return DQNFamilyTrainer(cfg), 495.0
+    if name == "ddqn_per_duel_cartpole_ref1to1":
+        from gymrl_tpu.algos.dqn_variants import DQNFamilyTrainer, ddqn_per_duel_config
+        cfg = ddqn_per_duel_config(num_envs=16, steps_per_iter=64, updates_per_step=16,
+                                   max_train_steps=100_000)
+        return DQNFamilyTrainer(cfg), 495.0
+    if name == "ddqn_per_cartpole_gamma99_3m":
+        # seed-retry budget: the dqn sibling's 3M (ddqn_per seed 1 is the
+        # one chronically slow seed — r4 saw it plateau ~303 at 3M under
+        # γ=0.9; this cell asks whether γ=0.99 merely needs more horizon)
+        from gymrl_tpu.algos.dqn_variants import DQNFamilyTrainer, ddqn_per_config
+        cfg = ddqn_per_config(num_envs=128, steps_per_iter=64, updates_per_step=2,
+                              epsilon_decay=20_000.0, gamma=0.99,
+                              max_train_steps=3_000_000)
+        return DQNFamilyTrainer(cfg), 495.0
+    if name == "ddqn_per_cartpole_gamma99":
+        # single documented deviation from the reference's γ=0.9
+        # (ddqn_per_cartpole.py:38) — the γ-delta cell of the rainbow
+        # playbook; γ=0.9 caps CartPole avg100 in the ~150-370 band
+        from gymrl_tpu.algos.dqn_variants import DQNFamilyTrainer, ddqn_per_config
+        cfg = ddqn_per_config(num_envs=128, steps_per_iter=64, updates_per_step=2,
+                              epsilon_decay=20_000.0, gamma=0.99,
+                              max_train_steps=1_500_000)
+        return DQNFamilyTrainer(cfg), 495.0
+    if name == "ddqn_per_duel_cartpole_gamma99":
+        from gymrl_tpu.algos.dqn_variants import DQNFamilyTrainer, ddqn_per_duel_config
+        cfg = ddqn_per_duel_config(num_envs=128, steps_per_iter=64, updates_per_step=2,
+                                   epsilon_decay=20_000.0, gamma=0.99,
+                                   max_train_steps=1_500_000)
         return DQNFamilyTrainer(cfg), 495.0
     if name == "noisy_dqn_cartpole":
         from gymrl_tpu.algos.dqn_variants import DQNFamilyTrainer, noisy_dqn_config
@@ -142,6 +189,14 @@ def build(name):
     if name == "td3_pendulum":
         from gymrl_tpu.algos.continuous import TD3Trainer, td3_config
         cfg = td3_config(num_envs=64, steps_per_iter=64, updates_per_step=8)
+        return TD3Trainer(cfg), PENDULUM_BAR
+    if name == "td3_pendulum_ratio1":
+        # reference update:data cadence (1 update per env step,
+        # td3_pendulum.py:216-224 updates once per step) — adjudicates the
+        # shipped 1:8 config's seed-1 divergence (VERDICT r4 #2): the
+        # sac_pendulum_ratio1 precedent says the ratio dominates stability
+        from gymrl_tpu.algos.continuous import TD3Trainer, td3_config
+        cfg = td3_config(num_envs=64, steps_per_iter=64, updates_per_step=64)
         return TD3Trainer(cfg), PENDULUM_BAR
     if name == "ddpg_pendulum":
         from gymrl_tpu.algos.continuous import DDPGTrainer, ddpg_config

@@ -157,6 +157,19 @@ class PPGTrainer(PPORNNTrainer):
         # same single-wide-gather fix as ppo.py / ppo_rnn.py)
         packed, spec = pack_fields(data)
 
+        # Optimizer representation: flat master vector (one fused Adam per
+        # grad step in BOTH phases) or the param pytree — see
+        # PPORNNConfig.flat_optimizer (inherited).
+        if cfg.flat_optimizer:
+            from jax.flatten_util import ravel_pytree
+
+            params0, unravel = ravel_pytree(ts.params)
+            loss_fn = lambda p, mb: self._loss(unravel(p), mb)
+            aux_loss_fn = lambda p, mb: self._aux_loss(unravel(p), mb)
+        else:
+            params0, unravel = ts.params, lambda p: p
+            loss_fn, aux_loss_fn = self._loss, self._aux_loss
+
         def phase1_epoch(carry, k_epoch):
             params, opt_state = carry
             perm = jax.random.permutation(k_epoch, n_seqs)
@@ -165,7 +178,7 @@ class PPGTrainer(PPORNNTrainer):
             def minibatch(carry, rows):
                 params, opt_state = carry
                 mb = unpack_fields(rows, spec)
-                (loss, metrics), grads = jax.value_and_grad(self._loss, has_aux=True)(
+                (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
                     params, mb
                 )
                 updates, opt_state = self.tx.update(grads, opt_state, params)
@@ -179,14 +192,16 @@ class PPGTrainer(PPORNNTrainer):
 
         key, k_p1, k_p2 = jax.random.split(key, 3)
         (params, opt_state), metrics = jax.lax.scan(
-            phase1_epoch, (ts.params, ts.opt_state), jax.random.split(k_p1, cfg.num_epochs)
+            phase1_epoch, (params0, ts.opt_state), jax.random.split(k_p1, cfg.num_epochs)
         )
 
         # -- phase 2: auxiliary epochs (ref :372-393)
         if cfg.clone_target == "current":
             # anchor = the post-policy-phase distribution over the buffer,
             # computed once (canonical PPG's pi_old for the aux phase)
-            anchor_logits, _ = self._aux_seq_forward(params, data["h0"], data["obs"])
+            anchor_logits, _ = self._aux_seq_forward(
+                unravel(params), data["h0"], data["obs"]
+            )
             data = dict(
                 data,
                 anchor_logp_all=jax.lax.stop_gradient(
@@ -208,7 +223,7 @@ class PPGTrainer(PPORNNTrainer):
                 params, opt_state = carry
                 mb = unpack_fields(rows, aux_spec)
                 (loss, aux_metrics), grads = jax.value_and_grad(
-                    self._aux_loss, has_aux=True
+                    aux_loss_fn, has_aux=True
                 )(params, mb)
                 updates, opt_state = self.tx.update(grads, opt_state, params)
                 params = optax.apply_updates(params, updates)
@@ -243,8 +258,8 @@ class PPGTrainer(PPORNNTrainer):
             (params, opt_state), aux_metrics = run_phase2((params, opt_state))
 
         new_ts = RNNTrainState(
-            params=params, opt_state=opt_state, vec_state=vec_state, hidden=hidden,
-            obs_rms=obs_rms, reward_scaler=scaler, key=key,
+            params=unravel(params), opt_state=opt_state, vec_state=vec_state,
+            hidden=hidden, obs_rms=obs_rms, reward_scaler=scaler, key=key,
             env_steps=ts.env_steps + cfg.num_envs * cfg.rollout_steps,
         )
         out = IterOut(

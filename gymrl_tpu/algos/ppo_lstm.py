@@ -78,6 +78,9 @@ class PPOLSTMConfig:
     rnn_hidden: int = 512
     rnn_cell: str = "gru"  # 'gru' | 'lstm' (URNN supports both)
     rnd_embed: int = 512
+    # Flat raveled-vector optimizer (see PPOConfig.flat_optimizer);
+    # incompatible with model-axis TP
+    flat_optimizer: bool = False
     max_train_steps: int = 5_000_000
     solve_threshold: float = 200.0
 
@@ -183,6 +186,10 @@ class PPOLSTMTrainer(Trainer):
             optax.clip_by_global_norm(cfg.max_grad_norm),
             optax.inject_hyperparams(optax.adam)(learning_rate=cfg.lr, eps=cfg.adam_eps),
         )
+        if cfg.flat_optimizer:
+            assert mesh is None or mesh.shape.get("model", 1) == 1, (
+                "flat_optimizer is incompatible with model-axis TP"
+            )
         self._eval_cache: dict = {}
 
     def init(self, key, _place: bool = True) -> LSTMTrainState:
@@ -191,9 +198,15 @@ class PPOLSTMTrainer(Trainer):
         obs_dim = self.venv.env.obs_dim
         h0 = jnp.zeros((1, self.net.packed_hidden), jnp.float32)
         params = self.net.init(k_params, h0, jnp.zeros((1, obs_dim)))
+        if cfg.flat_optimizer:
+            from jax.flatten_util import ravel_pytree
+
+            opt_target = ravel_pytree(params)[0]
+        else:
+            opt_target = params
         ts = LSTMTrainState(
             params=params,
-            opt_state=self.tx.init(params),
+            opt_state=self.tx.init(opt_target),
             vec_state=self.venv.reset(k_env),
             hidden=jnp.zeros((cfg.num_envs, self.net.packed_hidden), jnp.float32),
             key=k_iter,
@@ -405,6 +418,19 @@ class PPOLSTMTrainer(Trainer):
         # leaf-by-leaf gathers (PROFILE_r3.md pathology; same fix as ppo.py)
         packed, spec = pack_fields(data)
 
+        # Optimizer representation: flat master vector (one fused Adam) or
+        # the param pytree — see PPOLSTMConfig.flat_optimizer. The frozen
+        # RND target rides along with zero grads (stop_gradient), so its
+        # Adam moments stay zero and it never moves, flat or not.
+        if cfg.flat_optimizer:
+            from jax.flatten_util import ravel_pytree
+
+            params0, unravel = ravel_pytree(ts.params)
+            loss_fn = lambda p, mb, ec: self._loss(unravel(p), mb, ec)
+        else:
+            params0, unravel = ts.params, lambda p: p
+            loss_fn = self._loss
+
         def epoch(carry, k_epoch):
             params, opt_state = carry
             perm = jax.random.permutation(k_epoch, n_seqs)
@@ -413,7 +439,7 @@ class PPOLSTMTrainer(Trainer):
             def minibatch(carry, rows):
                 params, opt_state = carry
                 mb = unpack_fields(rows, spec)
-                (loss, metrics), grads = jax.value_and_grad(self._loss, has_aux=True)(
+                (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
                     params, mb, ent_coef
                 )
                 updates, opt_state = self.tx.update(grads, opt_state, params)
@@ -427,8 +453,9 @@ class PPOLSTMTrainer(Trainer):
 
         key, k_epochs = jax.random.split(key)
         (params, opt_state), metrics = jax.lax.scan(
-            epoch, (ts.params, opt_state), jax.random.split(k_epochs, cfg.num_epochs)
+            epoch, (params0, opt_state), jax.random.split(k_epochs, cfg.num_epochs)
         )
+        params = unravel(params)
 
         new_ts = LSTMTrainState(
             params=params, opt_state=opt_state, vec_state=vec_state, hidden=hidden,

@@ -86,6 +86,13 @@ class PPORNNConfig:
     # the cheaper scheme the reference itself uses in ppo_lstm (:679-708).
     whole_episode_bptt: bool = False
     episode_rows_per_env: int = 8  # max episodes packed per env column
+    # Run the optimizer on ONE raveled parameter vector (same trick as
+    # PPOConfig.flat_optimizer — the r4 flagship win): the recurrent family
+    # is SGD-bound at solve configs (91 of 106 ms, PROFILE_r4.md), so the
+    # per-leaf optimizer op overhead is the dominant cost here too.
+    # Mathematically identical update (Adam is elementwise; global norm is
+    # the same sum re-associated). Incompatible with model-axis TP.
+    flat_optimizer: bool = False
     max_train_steps: int = 2_000_000
     solve_threshold: float = 200.0
 
@@ -172,6 +179,10 @@ class PPORNNTrainer(Trainer):
             optax.clip_by_global_norm(cfg.max_grad_norm),
             optax.adam(cfg.lr, eps=cfg.adam_eps),
         )
+        if cfg.flat_optimizer:
+            assert mesh is None or mesh.shape.get("model", 1) == 1, (
+                "flat_optimizer is incompatible with model-axis TP"
+            )
         self._eval_cache: dict = {}
 
     def init(self, key, _place: bool = True) -> RNNTrainState:
@@ -180,9 +191,15 @@ class PPORNNTrainer(Trainer):
         obs_dim = self.venv.env.obs_dim
         h0 = jnp.zeros((1, self.net.rnn_size), jnp.float32)
         params = self.net.init(k_params, h0, jnp.zeros((1, obs_dim)))
+        if self.cfg.flat_optimizer:
+            from jax.flatten_util import ravel_pytree
+
+            opt_target = ravel_pytree(params)[0]
+        else:
+            opt_target = params
         ts = RNNTrainState(
             params=params,
-            opt_state=self.tx.init(params),
+            opt_state=self.tx.init(opt_target),
             vec_state=self.venv.reset(k_env),
             hidden=jnp.zeros((cfg.num_envs, self.net.rnn_size), jnp.float32),
             obs_rms=rms_init((obs_dim,)),
@@ -439,6 +456,17 @@ class PPORNNTrainer(Trainer):
         # sample groups/order; ints roundtrip exactly through f32.
         packed, spec = pack_fields(data)
 
+        # Optimizer representation: flat master vector (one fused Adam) or
+        # the param pytree — see PPORNNConfig.flat_optimizer.
+        if cfg.flat_optimizer:
+            from jax.flatten_util import ravel_pytree
+
+            params0, unravel = ravel_pytree(ts.params)
+            loss_fn = lambda p, mb: self._loss(unravel(p), mb)
+        else:
+            params0, unravel = ts.params, lambda p: p
+            loss_fn = self._loss
+
         def epoch(carry, k_epoch):
             params, opt_state = carry
             perm = jax.random.permutation(k_epoch, n_seqs)
@@ -447,7 +475,7 @@ class PPORNNTrainer(Trainer):
             def minibatch(carry, rows):
                 params, opt_state = carry
                 mb = unpack_fields(rows, spec)
-                (loss, metrics), grads = jax.value_and_grad(self._loss, has_aux=True)(
+                (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
                     params, mb
                 )
                 updates, opt_state = self.tx.update(grads, opt_state, params)
@@ -461,8 +489,9 @@ class PPORNNTrainer(Trainer):
 
         key, k_epochs = jax.random.split(key)
         (params, opt_state), metrics = jax.lax.scan(
-            epoch, (ts.params, ts.opt_state), jax.random.split(k_epochs, cfg.num_epochs)
+            epoch, (params0, ts.opt_state), jax.random.split(k_epochs, cfg.num_epochs)
         )
+        params = unravel(params)
 
         new_ts = RNNTrainState(
             params=params, opt_state=opt_state, vec_state=vec_state, hidden=hidden,

@@ -89,6 +89,30 @@ def test_lstm_eval():
     assert np.all(np.asarray(returns) >= 1)
 
 
+def test_lstm_ppg_flat_optimizer_matches_pytree():
+    """flat_optimizer across the rest of the recurrent family (ppo_lstm with
+    RND+mHC, and PPG's two-phase loop): params match the pytree optimizer
+    from the same seed to reduction-order noise."""
+    ts_f = None
+    for make in (
+        lambda fo: PPOLSTMTrainer(lstm_cfg(flat_optimizer=fo)),
+        lambda fo: PPGTrainer(PPGConfig(env_name="CartPole-v1", num_envs=4,
+                                        rollout_steps=16, seq_len=8,
+                                        seq_minibatch=8, num_epochs=2,
+                                        aux_epochs=2, aux_every=1,
+                                        flat_optimizer=fo)),
+    ):
+        tr_f, tr_t = make(True), make(False)
+        ts_f = tr_f.init(jax.random.PRNGKey(13))
+        ts_t = tr_t.init(jax.random.PRNGKey(13))
+        for _ in range(2):
+            ts_f, _ = tr_f.train_iter(ts_f)
+            ts_t, _ = tr_t.train_iter(ts_t)
+        for a, b in zip(jax.tree_util.tree_leaves(ts_f.params),
+                        jax.tree_util.tree_leaves(ts_t.params)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
 def test_lstm_policy_step_carries_hidden():
     """Carry-through policy API on the LSTM family (VERDICT r4 #3): the
     packed (h, c) carry evolves, and PPG (PPORNNTrainer subclass) inherits
