@@ -39,6 +39,12 @@ def main():
         # A/B). First config change since r1; stated here for ladder
         # comparability.
         flat_optimizer=True,
+        # r5: bf16 minibatch forward/backward with f32 master params +
+        # optimizer state — +9.6% same-session A/B (5.73M → 6.28M,
+        # AB_BF16_r5.json) and solve-validated 3/3 both alone
+        # (ppo_lunarlander_sgd_bf16: 119k/139k/131k) and in this exact
+        # combo (ppo_lunarlander_flat_bf16: 205k/250k/131k — SOLVE_r5).
+        sgd_bf16=True,
     )
     trainer = PPOTrainer(cfg)
     trainer.donate = True  # rebinding loop → in-place state buffers

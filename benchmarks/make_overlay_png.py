@@ -30,6 +30,9 @@ BARS = {
     "sac_pendulum": -200.0,
     "rainbow_dqn_cartpole": 495.0,
     "ppg_rnn_lunarlander": 200.0,
+    "ddqn_per_cartpole": 495.0,
+    "ddqn_per_duel_cartpole": 495.0,
+    "td3_pendulum": -200.0,
 }
 TITLES = {
     "ppo_lunarlander": "PPO — LunarLander-v3",
@@ -37,6 +40,9 @@ TITLES = {
     "sac_pendulum": "SAC — Pendulum-v1",
     "rainbow_dqn_cartpole": "Rainbow — CartPole-v1 (ref-exact 1:1 + γ=.99 arm)",
     "ppg_rnn_lunarlander": "PPG — LunarLander-v3",
+    "ddqn_per_cartpole": "DDQN+PER — CartPole-v1 (ref-exact 1:1 + γ=.99 arm)",
+    "ddqn_per_duel_cartpole": "DDQN+PER+Duel — CartPole-v1 (1:1 + γ=.99 arm)",
+    "td3_pendulum": "TD3 — Pendulum-v1 (1:8 shipped + ref-cadence 1:1)",
 }
 
 

@@ -69,6 +69,19 @@ PAIRS = {
                              ["rainbow_dqn_cartpole_ref1to1",
                               "rainbow_dqn_cartpole_gamma99"]),
     "ppg_rnn_lunarlander": ("refppg_run*.log", ["ppg_rnn_lunarlander"]),
+    # r5 adjudications (VERDICT r4 #1/#2): the DDQN-PER pair at the
+    # reference's own cadence/budget (curve parity with its 140-430 band)
+    # plus the γ=0.99 single-deviation arm that solves; TD3 shipped 1:8
+    # config plus the reference-cadence 1:1 arm
+    "ddqn_per_cartpole": ("refddqnper_run*.log",
+                          ["ddqn_per_cartpole_ref1to1",
+                           "ddqn_per_cartpole_gamma99",
+                           "ddqn_per_cartpole_gamma99_3m"]),
+    "ddqn_per_duel_cartpole": ("refddqnduel_run*.log",
+                               ["ddqn_per_duel_cartpole_ref1to1",
+                                "ddqn_per_duel_cartpole_gamma99"]),
+    "td3_pendulum": ("reftd3_run*.log",
+                     ["td3_pendulum", "td3_pendulum_ratio1"]),
 }
 
 

@@ -63,6 +63,21 @@ def build(name):
                         minibatch_size=256, max_train_steps=10_000_000,
                         sgd_bf16=True)
         return PPOTrainer(cfg), 200.0
+    if name == "ppo_lunarlander_flat_bf16":
+        # the candidate r5 bench default: flat master-vector Adam + bf16
+        # minibatch forward/backward together (A/B: 5.73M → 6.28M steps/s)
+        from gymrl_tpu.algos.ppo import PPOConfig, PPOTrainer
+        cfg = PPOConfig(env_name="LunarLander-v3", num_envs=64, rollout_steps=64,
+                        minibatch_size=256, max_train_steps=10_000_000,
+                        flat_optimizer=True, sgd_bf16=True)
+        return PPOTrainer(cfg), 200.0
+    if name == "ppg_rnn_lunarlander_flatopt":
+        from gymrl_tpu.algos.ppg import PPGTrainer, ppg_rnn_lunarlander_config
+        return PPGTrainer(ppg_rnn_lunarlander_config(
+            max_train_steps=3_000_000, flat_optimizer=True)), 200.0
+    if name == "ppo_lstm_lunarlander_flatopt":
+        from gymrl_tpu.algos.ppo_lstm import PPOLSTMConfig, PPOLSTMTrainer
+        return PPOLSTMTrainer(PPOLSTMConfig(flat_optimizer=True)), 200.0
     if name == "ppo_full_lunarlander":
         from gymrl_tpu.algos.ppo_full import PPOFullConfig, PPOFullTrainer
         return PPOFullTrainer(PPOFullConfig()), 200.0

@@ -278,6 +278,9 @@ def ppg_rnn_lunarlander_config(**kw) -> PPGConfig:
     env-steps (benchmarks/artifacts/r2_logs/ppg_current8.log; ablation
     grid in ABLATION_ppg_r3.json)."""
     base = dict(env_name="LunarLander-v3", whole_episode_bptt=True,
-                episode_rows_per_env=8, seq_minibatch=64)
+                episode_rows_per_env=8, seq_minibatch=64,
+                # r5: flat master-vector Adam, +18.3% at this config,
+                # solve-validated 3/3 (90k/930k/262k, SOLVE_r5.jsonl)
+                flat_optimizer=True)
     base.update(kw)
     return PPGConfig(**base)

@@ -509,9 +509,13 @@ def ppo_rnn_lunarlander_config(**kw) -> PPORNNConfig:
     """Whole-episode BPTT by default — the reference's actual training
     scheme (ppo_rnn_lunarlander.py:322-327), and empirically ~16× more
     sample-efficient here than truncated chunks (SOLVE_r2.jsonl: solved at
-    180k env-steps vs 2.9M chunked)."""
+    180k env-steps vs 2.9M chunked). flat_optimizer since r5: +8.8% at
+    this config, solve-validated 3/3 (160k/418k/143k,
+    benchmarks/artifacts/SOLVE_r5.jsonl; equivalence test in
+    tests/test_ppo_rnn.py)."""
     base = dict(env_name="LunarLander-v3", whole_episode_bptt=True,
-                episode_rows_per_env=8, seq_minibatch=64)
+                episode_rows_per_env=8, seq_minibatch=64,
+                flat_optimizer=True)
     base.update(kw)
     return PPORNNConfig(**base)
 
@@ -526,6 +530,6 @@ def ppo_rnn_flappybird_config(**kw) -> PPORNNConfig:
     its LunarLander variant) instead of truncated chunks."""
     base = dict(env_name="FlappyBird-v0", feature_dim=512, solve_threshold=None,
                 gamma=0.995, whole_episode_bptt=True, episode_rows_per_env=8,
-                seq_minibatch=64)
+                seq_minibatch=64, flat_optimizer=True)
     base.update(kw)
     return PPORNNConfig(**base)

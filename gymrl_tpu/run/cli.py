@@ -102,7 +102,9 @@ def _ppo_full_lunarlander():
 
 def _ppo_lstm_lunarlander():
     from gymrl_tpu.algos.ppo_lstm import PPOLSTMConfig, PPOLSTMTrainer
-    return PPOLSTMTrainer(PPOLSTMConfig()), "PPO_LSTM", 200.0
+    # r5: flat master-vector Adam, +5.6% at this config, solve-validated
+    # 3/3 (430k/524k/569k, benchmarks/artifacts/SOLVE_r5.jsonl)
+    return PPOLSTMTrainer(PPOLSTMConfig(flat_optimizer=True)), "PPO_LSTM", 200.0
 
 
 def _ppg_rnn_lunarlander():
