@@ -81,6 +81,9 @@ def build(name):
     if name == "ppo_full_lunarlander":
         from gymrl_tpu.algos.ppo_full import PPOFullConfig, PPOFullTrainer
         return PPOFullTrainer(PPOFullConfig()), 200.0
+    if name == "ppo_full_lunarlander_flatopt":
+        from gymrl_tpu.algos.ppo_full import PPOFullConfig, PPOFullTrainer
+        return PPOFullTrainer(PPOFullConfig(flat_optimizer=True)), 200.0
     if name == "ppo_lstm_lunarlander":
         from gymrl_tpu.algos.ppo_lstm import PPOLSTMConfig, PPOLSTMTrainer
         return PPOLSTMTrainer(PPOLSTMConfig()), 200.0

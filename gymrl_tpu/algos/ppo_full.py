@@ -71,6 +71,9 @@ class PPOFullConfig:
     mhc_rate: int = 2
     mhc_layers: int = 2
     mhc_sk_it: int = 10
+    # Flat raveled-vector optimizer (see PPOConfig.flat_optimizer);
+    # incompatible with model-axis TP
+    flat_optimizer: bool = False
     max_train_steps: int = 5_000_000
     solve_threshold: float = 200.0
 
@@ -184,14 +187,24 @@ class PPOFullTrainer(Trainer):
             optax.clip_by_global_norm(cfg.max_grad_norm),
             optax.inject_hyperparams(optax.adam)(learning_rate=cfg.lr),
         )
+        if cfg.flat_optimizer:
+            assert mesh is None or mesh.shape.get("model", 1) == 1, (
+                "flat_optimizer is incompatible with model-axis TP"
+            )
 
     def init(self, key, _place: bool = True) -> FullTrainState:
         k_params, k_env, k_iter = jax.random.split(key, 3)
         obs_dim = self.venv.env.obs_dim
         params = self.net.init(k_params, jnp.zeros((1, obs_dim)))
+        if self.cfg.flat_optimizer:
+            from jax.flatten_util import ravel_pytree
+
+            opt_target = ravel_pytree(params)[0]
+        else:
+            opt_target = params
         ts = FullTrainState(
             params=params,
-            opt_state=self.tx.init(params),
+            opt_state=self.tx.init(opt_target),
             vec_state=self.venv.reset(k_env),
             key=k_iter,
             env_steps=jnp.zeros((), jnp.int32),
@@ -310,6 +323,17 @@ class PPOFullTrainer(Trainer):
 
         mb_size = cfg.batch_total // cfg.num_minibatches
 
+        # Optimizer representation: flat master vector (one fused Adam) or
+        # the param pytree — see PPOFullConfig.flat_optimizer.
+        if cfg.flat_optimizer:
+            from jax.flatten_util import ravel_pytree
+
+            params0, unravel = ravel_pytree(ts.params)
+            loss_fn = lambda p, mb, ec: self._loss(unravel(p), mb, ec)
+        else:
+            params0, unravel = ts.params, lambda p: p
+            loss_fn = self._loss
+
         def epoch(carry, k_epoch):
             params, opt_state = carry
             k_perm, k_cov = jax.random.split(k_epoch)
@@ -322,7 +346,7 @@ class PPOFullTrainer(Trainer):
                 mb = unpack_fields(rows, spec)
                 # clip-cov sample dropping (ref :608-616); see cov_drop_mask
                 if cfg.clip_cov_ratio > 0:
-                    logits, _ = self.net.apply(params, mb["obs"])
+                    logits, _ = self.net.apply(unravel(params), mb["obs"])
                     logp_all = jax.nn.log_softmax(logits)
                     lp = jnp.take_along_axis(
                         logp_all, mb["action"][:, None], axis=-1
@@ -334,7 +358,7 @@ class PPOFullTrainer(Trainer):
                     )
                 else:
                     mb["cov_keep"] = jnp.ones((mb_size,), jnp.float32)
-                (loss, metrics), grads = jax.value_and_grad(self._loss, has_aux=True)(
+                (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
                     params, mb, ent_coef
                 )
                 updates, opt_state = self.tx.update(grads, opt_state, params)
@@ -349,8 +373,9 @@ class PPOFullTrainer(Trainer):
 
         key, k_epochs = jax.random.split(key)
         (params, opt_state), metrics = jax.lax.scan(
-            epoch, (ts.params, opt_state), jax.random.split(k_epochs, cfg.num_epochs)
+            epoch, (params0, opt_state), jax.random.split(k_epochs, cfg.num_epochs)
         )
+        params = unravel(params)
 
         new_ts = FullTrainState(
             params=params, opt_state=opt_state, vec_state=vec_state, key=key,

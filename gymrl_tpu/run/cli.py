@@ -97,7 +97,9 @@ def _ppo_rnn_flappybird():
 
 def _ppo_full_lunarlander():
     from gymrl_tpu.algos.ppo_full import PPOFullConfig, PPOFullTrainer
-    return PPOFullTrainer(PPOFullConfig()), "PPO_FULL", 200.0
+    # r5: flat master-vector Adam, +16% (260k->302k steps/s), solve-
+    # validated 3/3 (516k/467k/528k, benchmarks/artifacts/SOLVE_r5.jsonl)
+    return PPOFullTrainer(PPOFullConfig(flat_optimizer=True)), "PPO_FULL", 200.0
 
 
 def _ppo_lstm_lunarlander():

@@ -22,6 +22,22 @@ def small_cfg(**kw):
     return PPOFullConfig(**base)
 
 
+def test_full_flat_optimizer_matches_pytree():
+    """flat_optimizer on the full-tricks trainer (mHC + clip-cov + ERC):
+    representation change only — params match the pytree optimizer from
+    the same seed to reduction-order noise."""
+    tr_f = PPOFullTrainer(small_cfg(flat_optimizer=True))
+    tr_t = PPOFullTrainer(small_cfg())
+    ts_f = tr_f.init(jax.random.PRNGKey(17))
+    ts_t = tr_t.init(jax.random.PRNGKey(17))
+    for _ in range(2):
+        ts_f, _ = tr_f.train_iter(ts_f)
+        ts_t, _ = tr_t.train_iter(ts_t)
+    for a, b in zip(jax.tree_util.tree_leaves(ts_f.params),
+                    jax.tree_util.tree_leaves(ts_t.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
 def test_sinkhorn_doubly_stochastic():
     A = jnp.exp(jax.random.normal(jax.random.PRNGKey(0), (8, 4, 4)))
     P, u, v = sinkhorn_knopp(A, 100)
