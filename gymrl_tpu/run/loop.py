@@ -86,18 +86,27 @@ class TrainLoop:
         steps0 = int(ts.env_steps)
         solved = False
 
+        env_steps = steps0
         try:
-            while int(ts.env_steps) < total_env_steps and not solved:
+            while env_steps < total_env_steps and not solved:
                 ts, out = trainer.train_iter(ts)
                 iters += 1
 
-                done = np.asarray(out.ep_done)
+                # ONE bundled device→host fetch per iteration instead of
+                # 3-4 sequential ones (ep_done, ep_return, env_steps each
+                # forced a full round trip; over a high-latency link —
+                # e.g. the axon relay — the loop is RTT-bound, not
+                # compute-bound: DQN solve-config train_iter is 0.24 ms
+                # on-chip but the r4 loop ran ~150 ms/iter end-to-end).
+                ep_done, ep_ret, env_steps = jax.device_get(
+                    (out.ep_done, out.ep_return, ts.env_steps)
+                )
+                env_steps = int(env_steps)
+                done = np.asarray(ep_done)
                 if done.any():
-                    finals = np.asarray(out.ep_return)[done]
+                    finals = np.asarray(ep_ret)[done]
                     episodes += int(done.sum())
                     window.extend(finals.tolist())
-
-                env_steps = int(ts.env_steps)
                 if iters % self.log_every == 0:
                     avg = float(np.mean(window)) if window else float("nan")
                     curve.append((env_steps, round(avg, 1)))
