@@ -69,7 +69,8 @@ def ppo_lstm_lunarlander():
     from gymrl_tpu.algos.ppo_lstm import PPOLSTMConfig, PPOLSTMTrainer
 
     return PPOLSTMTrainer(PPOLSTMConfig(num_envs=512, rollout_steps=64,
-                                        seq_minibatch=512))
+                                        seq_minibatch=512,
+                                        flat_optimizer=True))
 
 
 def ppo_lunarlander_refcadence():
@@ -79,9 +80,11 @@ def ppo_lunarlander_refcadence():
     batch-scaled config (see bench.py docstring for the stated deviation)."""
     from gymrl_tpu.algos.ppo import PPOConfig, PPOTrainer
 
+    # flat optimizer since r5 (+52% on this maximally SGD-bound cadence,
+    # REFCADENCE_r5.json — representation change only, cadence identical)
     return PPOTrainer(PPOConfig(env_name="LunarLander-v3", num_envs=32,
                                 rollout_steps=64, minibatch_size=64,
-                                num_epochs=10))
+                                num_epochs=10, flat_optimizer=True))
 
 
 def ppo_rnn_lunarlander():
@@ -98,8 +101,16 @@ def ppg_rnn_lunarlander():
     return PPGTrainer(ppg_rnn_lunarlander_config())
 
 
+def ppo_full_lunarlander():
+    """Shipped full-tricks workload config (flat optimizer since r5)."""
+    from gymrl_tpu.algos.ppo_full import PPOFullConfig, PPOFullTrainer
+
+    return PPOFullTrainer(PPOFullConfig(flat_optimizer=True))
+
+
 WORKLOADS = {
     "ppo_lunarlander": ppo_lunarlander,
+    "ppo_full_lunarlander": ppo_full_lunarlander,
     "ppo_lunarlander_refcadence": ppo_lunarlander_refcadence,
     "ppo_cartpole": ppo_cartpole,
     "dqn_cartpole": dqn_cartpole,
