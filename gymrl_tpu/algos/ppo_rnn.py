@@ -511,7 +511,7 @@ def ppo_rnn_lunarlander_config(**kw) -> PPORNNConfig:
     sample-efficient here than truncated chunks (SOLVE_r2.jsonl: solved at
     180k env-steps vs 2.9M chunked). flat_optimizer since r5: +8.8% at
     this config, solve-validated 3/3 (160k/418k/143k,
-    benchmarks/artifacts/SOLVE_r5.jsonl; equivalence test in
+    SOLVE_r5.jsonl; equivalence test in
     tests/test_ppo_rnn.py)."""
     base = dict(env_name="LunarLander-v3", whole_episode_bptt=True,
                 episode_rows_per_env=8, seq_minibatch=64,

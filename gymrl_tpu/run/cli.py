@@ -98,14 +98,14 @@ def _ppo_rnn_flappybird():
 def _ppo_full_lunarlander():
     from gymrl_tpu.algos.ppo_full import PPOFullConfig, PPOFullTrainer
     # r5: flat master-vector Adam, +16% (260k->302k steps/s), solve-
-    # validated 3/3 (516k/467k/528k, benchmarks/artifacts/SOLVE_r5.jsonl)
+    # validated 3/3 (516k/467k/528k, SOLVE_r5.jsonl)
     return PPOFullTrainer(PPOFullConfig(flat_optimizer=True)), "PPO_FULL", 200.0
 
 
 def _ppo_lstm_lunarlander():
     from gymrl_tpu.algos.ppo_lstm import PPOLSTMConfig, PPOLSTMTrainer
     # r5: flat master-vector Adam, +5.6% at this config, solve-validated
-    # 3/3 (430k/524k/569k, benchmarks/artifacts/SOLVE_r5.jsonl)
+    # 3/3 (430k/524k/569k, SOLVE_r5.jsonl)
     return PPOLSTMTrainer(PPOLSTMConfig(flat_optimizer=True)), "PPO_LSTM", 200.0
 
 
