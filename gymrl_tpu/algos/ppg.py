@@ -78,19 +78,45 @@ class PPGConfig(PPORNNConfig):
 
 
 class PPGActorCritic(nn.Module):
-    """Recurrent net + aux value head (ppg_rnn_lunarlander.py:143-176)."""
+    """Recurrent net + aux value head (ppg_rnn_lunarlander.py:143-176).
+
+    Same encode/cell/heads split as RecurrentActorCritic (r5 — see that
+    docstring): the sequential scan carries only the GRU cell; PSCN and
+    all three heads run batched over the full sequence. Param tree is
+    identical to the original compact version.
+    """
 
     n_actions: int
     feature_dim: int = 256
 
-    @nn.compact
+    def setup(self):
+        self.fc_head = PSCN(self.feature_dim)
+        self.rnn = MLPRNNCell(self.feature_dim)
+        self.actor_fc = MLP([64, self.n_actions])
+        self.critic_fc = MLP([32, 1])
+        self.aux_critic_fc = MLP([32, 1])
+
     def __call__(self, h, obs):
-        x = PSCN(self.feature_dim, name="fc_head")(obs)
-        h, out = MLPRNNCell(self.feature_dim, name="rnn")(h, x)
-        logits = MLP([64, self.n_actions], name="actor_fc")(out)
-        value = MLP([32, 1], name="critic_fc")(out).squeeze(-1)
-        aux_value = MLP([32, 1], name="aux_critic_fc")(out).squeeze(-1)
+        x = self.fc_head(obs)
+        h, out = self.rnn(h, x)
+        logits = self.actor_fc(out)
+        value = self.critic_fc(out).squeeze(-1)
+        aux_value = self.aux_critic_fc(out).squeeze(-1)
         return h, logits, value, aux_value
+
+    def encode(self, obs):
+        return self.fc_head(obs)
+
+    def cell(self, h, x):
+        return self.rnn(h, x)
+
+    def heads(self, out):
+        """Policy-phase heads — matches the base trainer's _seq_forward."""
+        return self.actor_fc(out), self.critic_fc(out).squeeze(-1)
+
+    def aux_heads(self, out):
+        """Aux-phase heads: (logits, aux_value)."""
+        return self.actor_fc(out), self.aux_critic_fc(out).squeeze(-1)
 
     @property
     def rnn_size(self) -> int:
@@ -108,12 +134,21 @@ class PPGTrainer(PPORNNTrainer):
 
     # -- phase 2 --------------------------------------------------------------
     def _aux_seq_forward(self, params, h0, obs_seq):
-        def step(h, x):
-            h, logits, _value, aux = self.net.apply(params, h, x)
-            return h, (logits, aux)
+        """Aux-phase unroll with the same hoisted encode/cell/heads shape
+        as the base _seq_forward (only the GRU cell is sequential)."""
+        mb, L = obs_seq.shape[:2]
+        feats = self.net.apply(params, obs_seq.reshape(mb * L, -1), method="encode")
+        feats = jnp.swapaxes(feats.reshape(mb, L, -1), 0, 1)
 
-        _, (logits, aux) = jax.lax.scan(step, h0, jnp.swapaxes(obs_seq, 0, 1))
-        return jnp.swapaxes(logits, 0, 1), jnp.swapaxes(aux, 0, 1)
+        def step(h, x):
+            h, out = self.net.apply(params, h, x, method="cell")
+            return h, out
+
+        _, outs = jax.lax.scan(step, h0, feats)
+        logits, aux = self.net.apply(
+            params, jnp.swapaxes(outs, 0, 1), method="aux_heads"
+        )
+        return logits, aux
 
     def _aux_loss(self, params, mb):
         logits, aux_values = self._aux_seq_forward(params, mb["h0"], mb["obs"])

@@ -143,6 +143,22 @@ class LSTMActorCritic(nn.Module):
         value = self.critic(out).squeeze(-1)
         return h, logits, value, predict, target
 
+    # Time-independent pieces exposed separately so the training re-unroll
+    # keeps only the URNN recurrence in its sequential scan; the mHC
+    # backbone (Sinkhorn per layer!), RND pair, and heads run ONCE batched
+    # over all mb·L steps (r5 — same hoist as RecurrentActorCritic).
+    def encode(self, obs):
+        return self.shared(obs)
+
+    def cell(self, h, x):
+        return self.rnn(h, x)
+
+    def heads(self, out):
+        return self.actor(out), self.critic(out).squeeze(-1)
+
+    def rnd_forward(self, obs):
+        return self.rnd(obs)
+
     @property
     def packed_hidden(self) -> int:
         return self.cfg.rnn_hidden * (2 if self.cfg.rnn_cell == "lstm" else 1)
@@ -316,15 +332,26 @@ class PPOLSTMTrainer(Trainer):
 
     # -- loss -----------------------------------------------------------------
     def _seq_forward(self, params, h0, obs_seq):
-        def step(h, x):
-            h, logits, value, predict, target = self.net.apply(params, h, x)
-            return h, (logits, value, predict, target)
+        """[mb, L, obs] unroll: mHC backbone + RND + heads hoisted out of
+        the time scan (time-independent — one wide batched pass each);
+        only the URNN recurrence is sequential. Identical math to the
+        per-step unroll (r5, PROFILE_r5.md §5)."""
+        mb, L = obs_seq.shape[:2]
+        flat_obs = obs_seq.reshape(mb * L, -1)
+        predict, target = self.net.apply(params, flat_obs, method="rnd_forward")
+        x = self.net.apply(params, flat_obs, method="encode")
+        feats = jnp.swapaxes(x.reshape(mb, L, -1), 0, 1)  # [L, mb, F]
 
-        _, (logits, values, predict, target) = jax.lax.scan(
-            step, h0, jnp.swapaxes(obs_seq, 0, 1)
+        def step(h, xx):
+            h, out = self.net.apply(params, h, xx, method="cell")
+            return h, out
+
+        _, outs = jax.lax.scan(step, h0, feats)
+        logits, values = self.net.apply(
+            params, jnp.swapaxes(outs, 0, 1), method="heads"
         )
-        sw = lambda x: jnp.swapaxes(x, 0, 1)
-        return sw(logits), sw(values), sw(predict), sw(target)
+        return (logits, values,
+                predict.reshape(mb, L, -1), target.reshape(mb, L, -1))
 
     def _loss(self, params, mb, ent_coef):
         cfg = self.cfg

@@ -119,19 +119,44 @@ class PPORNNConfig:
 class RecurrentActorCritic(nn.Module):
     """PSCN → MLPRNN cell → actor/critic heads (ppo_rnn_lunarlander.py:141-166).
 
-    Called one step at a time: (h, obs) → (h', logits, value).
+    Called one step at a time — (h, obs) → (h', logits, value) — during
+    collection/eval. For the training re-unroll the time-INdependent
+    pieces are exposed as separate methods (`encode`, `cell`, `heads`) so
+    `_seq_forward` can run the encoder and heads ONCE batched over all
+    mb·L steps and keep only the GRU recurrence inside the sequential
+    scan (r5 — the SGD phase was ~10k sequential cell+encoder+head
+    evals per train_iter at solve configs, kernel-latency-bound).
+    setup()-based with the same submodule names as the original compact
+    version, so the param tree (and checkpoints) are unchanged.
     """
 
     n_actions: int
     feature_dim: int = 256
 
-    @nn.compact
+    def setup(self):
+        self.fc_head = PSCN(self.feature_dim)
+        self.rnn = MLPRNNCell(self.feature_dim)
+        self.actor_fc = MLP([64, self.n_actions])
+        self.critic_fc = MLP([32, 1])
+
     def __call__(self, h, obs):
-        x = PSCN(self.feature_dim, name="fc_head")(obs)
-        h, out = MLPRNNCell(self.feature_dim, name="rnn")(h, x)
-        logits = MLP([64, self.n_actions], name="actor_fc")(out)
-        value = MLP([32, 1], name="critic_fc")(out).squeeze(-1)
+        x = self.fc_head(obs)
+        h, out = self.rnn(h, x)
+        logits = self.actor_fc(out)
+        value = self.critic_fc(out).squeeze(-1)
         return h, logits, value
+
+    def encode(self, obs):
+        """Time-independent feature trunk (any leading shape)."""
+        return self.fc_head(obs)
+
+    def cell(self, h, x):
+        """One recurrence step on pre-encoded features."""
+        return self.rnn(h, x)
+
+    def heads(self, out):
+        """Time-independent actor/critic heads (any leading shape)."""
+        return self.actor_fc(out), self.critic_fc(out).squeeze(-1)
 
     @property
     def rnn_size(self) -> int:
@@ -332,16 +357,27 @@ class PPORNNTrainer(Trainer):
 
     # -- loss over a sequence minibatch ---------------------------------------
     def _seq_forward(self, params, h0, obs_seq):
-        """Unroll the cell over a [mb, L, obs] chunk from stored init hidden."""
+        """Unroll over a [mb, L, obs] chunk from stored init hidden.
+
+        TPU shape (r5): encoder and heads are time-independent, so they
+        run ONCE as wide batched matmuls over all mb·L steps; only the
+        GRU cell recurrence stays inside the sequential scan. Identical
+        math to the per-step unroll (same weights, re-batched), ~2× on
+        the SGD phase at solve configs (PROFILE_r5.md §5).
+        """
+        mb, L = obs_seq.shape[:2]
+        feats = self.net.apply(params, obs_seq.reshape(mb * L, -1), method="encode")
+        feats = jnp.swapaxes(feats.reshape(mb, L, -1), 0, 1)  # [L, mb, F]
 
         def step(h, x):
-            h, logits, value = self._apply_cell(params, h, x)
-            return h, (logits, value)
+            h, out = self.net.apply(params, h, x, method="cell")
+            return h, out
 
-        _, (logits, values) = jax.lax.scan(
-            step, h0, jnp.swapaxes(obs_seq, 0, 1)
-        )  # scan over L: [L, mb, ...]
-        return jnp.swapaxes(logits, 0, 1), jnp.swapaxes(values, 0, 1)
+        _, outs = jax.lax.scan(step, h0, feats)  # [L, mb, F]
+        logits, values = self.net.apply(
+            params, jnp.swapaxes(outs, 0, 1), method="heads"
+        )
+        return logits, values
 
     def _loss(self, params, mb):
         cfg = self.cfg

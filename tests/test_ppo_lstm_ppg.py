@@ -89,6 +89,27 @@ def test_lstm_eval():
     assert np.all(np.asarray(returns) >= 1)
 
 
+def test_lstm_seq_forward_matches_stepwise_apply():
+    """Hoisted unroll (mHC/RND/heads batched, URNN cell sequential — r5)
+    equals the step-by-step full __call__ unroll."""
+    trainer = PPOLSTMTrainer(lstm_cfg())
+    ts = trainer.init(jax.random.PRNGKey(0))
+    mb, L = 3, 6
+    obs = jax.random.normal(jax.random.PRNGKey(2),
+                            (mb, L, trainer.venv.env.obs_dim))
+    h0 = jnp.zeros((mb, trainer.net.packed_hidden), jnp.float32)
+
+    logits_h, values_h, predict_h, target_h = trainer._seq_forward(ts.params, h0, obs)
+
+    h = h0
+    for t in range(L):
+        h, lg, v, pr, tg = trainer.net.apply(ts.params, h, obs[:, t])
+        np.testing.assert_allclose(np.asarray(logits_h[:, t]), np.asarray(lg), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(values_h[:, t]), np.asarray(v), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(predict_h[:, t]), np.asarray(pr), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(target_h[:, t]), np.asarray(tg), atol=1e-5)
+
+
 def test_lstm_ppg_flat_optimizer_matches_pytree():
     """flat_optimizer across the rest of the recurrent family (ppo_lstm with
     RND+mHC, and PPG's two-phase loop): params match the pytree optimizer

@@ -82,6 +82,33 @@ def test_recurrent_eval_runs():
     assert np.all(np.asarray(returns) >= 1)
 
 
+def test_seq_forward_matches_stepwise_apply():
+    """The hoisted training unroll (encode/heads batched over mb·L, only
+    the GRU cell sequential — r5) must equal the step-by-step full
+    __call__ unroll exactly (same weights, re-batched)."""
+    trainer = PPORNNTrainer(small_cfg())
+    ts = trainer.init(jax.random.PRNGKey(0))
+    mb, L = 4, 8
+    obs = jax.random.normal(jax.random.PRNGKey(1),
+                            (mb, L, trainer.venv.env.obs_dim))
+    h0 = jnp.zeros((mb, trainer.net.rnn_size), jnp.float32)
+
+    logits_h, values_h = trainer._seq_forward(ts.params, h0, obs)
+
+    h = h0
+    logits_s, values_s = [], []
+    for t in range(L):
+        h, lg, v = trainer.net.apply(ts.params, h, obs[:, t])
+        logits_s.append(lg)
+        values_s.append(v)
+    np.testing.assert_allclose(np.asarray(logits_h),
+                               np.stack([np.asarray(x) for x in logits_s], 1),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(values_h),
+                               np.stack([np.asarray(x) for x in values_s], 1),
+                               atol=1e-5)
+
+
 def test_rnn_flat_optimizer_matches_pytree():
     """flat_optimizer on the recurrent family: representation change only —
     same seed, 2 train_iters, params agree to reduction-order noise."""
