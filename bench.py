@@ -45,6 +45,10 @@ def main():
         # (ppo_lunarlander_sgd_bf16: 119k/139k/131k) and in this exact
         # combo (ppo_lunarlander_flat_bf16: 205k/250k/131k — SOLVE_r5).
         sgd_bf16=True,
+        # r5: unroll 8 SGD bodies per scan iteration — the 128 grad steps
+        # are latency-bound, and the longer straight-line program schedules
+        # better (+1.4% same-session, AB_UNROLL_r5.json). Identical math.
+        sgd_unroll=8,
     )
     trainer = PPOTrainer(cfg)
     trainer.donate = True  # rebinding loop → in-place state buffers

@@ -110,6 +110,12 @@ class PPOConfig:
     # bit-identical (reduction order). Unsupported with model-axis TP
     # (the flat master vector cannot carry the per-leaf TP layout).
     flat_optimizer: bool = False
+    # lax.scan unroll factor for the minibatch SGD loop. The bench-scale
+    # SGD phase is 128 sequential latency-bound grad steps; unrolling k
+    # bodies per scan iteration removes loop bookkeeping and gives XLA a
+    # longer straight-line program to schedule. Must divide
+    # num_minibatches. Measured r5: see AB_UNROLL_r5.json.
+    sgd_unroll: int = 1
 
     @property
     def batch_total(self) -> int:
@@ -453,7 +459,7 @@ class PPOTrainer(Trainer):
                 return (params, opt_state), metrics
 
             (params, opt_state), metrics = jax.lax.scan(
-                minibatch, (params, opt_state), mb_xs
+                minibatch, (params, opt_state), mb_xs, unroll=cfg.sgd_unroll
             )
             return (params, opt_state), metrics
 
