@@ -67,6 +67,21 @@ def test_flat_optimizer_matches_pytree():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
 
 
+def test_sgd_unroll_matches_unroll1():
+    """sgd_unroll is pure loop unrolling — params after 2 train_iters must
+    match unroll=1 (same seed) exactly up to scheduling noise."""
+    tr_u = PPOTrainer(small_cfg(sgd_unroll=4))
+    tr_1 = PPOTrainer(small_cfg())
+    ts_u = tr_u.init(jax.random.PRNGKey(3))
+    ts_1 = tr_1.init(jax.random.PRNGKey(3))
+    for _ in range(2):
+        ts_u, _ = tr_u.train_iter(ts_u)
+        ts_1, _ = tr_1.train_iter(ts_1)
+    for a, b in zip(jax.tree_util.tree_leaves(ts_u.params),
+                    jax.tree_util.tree_leaves(ts_1.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
 def test_flat_optimizer_refuses_tp_mesh_at_construction():
     """The TP guard must fire in __init__, not only init() — a restored
     TrainState skips init() entirely (ADVICE r4)."""
