@@ -84,7 +84,8 @@ def ppo_lunarlander_refcadence():
     # REFCADENCE_r5.json — representation change only, cadence identical)
     return PPOTrainer(PPOConfig(env_name="LunarLander-v3", num_envs=32,
                                 rollout_steps=64, minibatch_size=64,
-                                num_epochs=10, flat_optimizer=True))
+                                num_epochs=10, flat_optimizer=True,
+                                sgd_unroll=8))
 
 
 def ppo_rnn_lunarlander():
