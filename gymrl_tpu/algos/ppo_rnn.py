@@ -93,6 +93,11 @@ class PPORNNConfig:
     # Mathematically identical update (Adam is elementwise; global norm is
     # the same sum re-associated). Incompatible with model-axis TP.
     flat_optimizer: bool = False
+    # lax.scan unroll for the hoisted cell recurrence in _seq_forward —
+    # the remaining sequential chain after the r5 hoist is L tiny GRU
+    # steps per minibatch; unrolling k bodies removes loop bookkeeping.
+    # Identical math. Measured r5: see AB_UNROLL_r5.json (rnn section).
+    cell_unroll: int = 1
     max_train_steps: int = 2_000_000
     solve_threshold: float = 200.0
 
@@ -373,7 +378,9 @@ class PPORNNTrainer(Trainer):
             h, out = self.net.apply(params, h, x, method="cell")
             return h, out
 
-        _, outs = jax.lax.scan(step, h0, feats)  # [L, mb, F]
+        _, outs = jax.lax.scan(
+            step, h0, feats, unroll=self.cfg.cell_unroll
+        )  # [L, mb, F]
         logits, values = self.net.apply(
             params, jnp.swapaxes(outs, 0, 1), method="heads"
         )
