@@ -49,6 +49,9 @@ def main():
         # are latency-bound, and the longer straight-line program schedules
         # better (+1.4% same-session, AB_UNROLL_r5.json). Identical math.
         sgd_unroll=8,
+        # r5: same trick on the T-step collection scan (+1.0%,
+        # AB_UNROLL_r5.json rollout section). Identical math.
+        rollout_unroll=8,
     )
     trainer = PPOTrainer(cfg)
     trainer.donate = True  # rebinding loop → in-place state buffers

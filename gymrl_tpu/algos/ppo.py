@@ -116,6 +116,9 @@ class PPOConfig:
     # longer straight-line program to schedule. Must divide
     # num_minibatches. Measured r5: see AB_UNROLL_r5.json.
     sgd_unroll: int = 1
+    # lax.scan unroll for the T-step collection loop (forward → sample →
+    # env step). Identical math. Measured r5: AB_UNROLL_r5.json.
+    rollout_unroll: int = 1
 
     @property
     def batch_total(self) -> int:
@@ -330,7 +333,8 @@ class PPOTrainer(Trainer):
             return (vec_state, obs_rms, key), (roll, stats)
 
         (vec_state, obs_rms, key), (roll, stats) = jax.lax.scan(
-            env_step, (ts.vec_state, ts.obs_rms, ts.key), None, length=cfg.rollout_steps
+            env_step, (ts.vec_state, ts.obs_rms, ts.key), None,
+            length=cfg.rollout_steps, unroll=cfg.rollout_unroll,
         )
         return vec_state, obs_rms, key, roll, stats
 

@@ -70,7 +70,7 @@ def test_flat_optimizer_matches_pytree():
 def test_sgd_unroll_matches_unroll1():
     """sgd_unroll is pure loop unrolling — params after 2 train_iters must
     match unroll=1 (same seed) exactly up to scheduling noise."""
-    tr_u = PPOTrainer(small_cfg(sgd_unroll=4))
+    tr_u = PPOTrainer(small_cfg(sgd_unroll=4, rollout_unroll=4))
     tr_1 = PPOTrainer(small_cfg())
     ts_u = tr_u.init(jax.random.PRNGKey(3))
     ts_1 = tr_1.init(jax.random.PRNGKey(3))
