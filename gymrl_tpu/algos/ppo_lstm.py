@@ -81,6 +81,10 @@ class PPOLSTMConfig:
     # Flat raveled-vector optimizer (see PPOConfig.flat_optimizer);
     # incompatible with model-axis TP
     flat_optimizer: bool = False
+    # lax.scan unroll for the hoisted URNN recurrence (seq_len is only 8
+    # here, so unroll=8 is a full unroll). Identical math; measured r5 in
+    # AB_UNROLL_r5.json (lstm section).
+    cell_unroll: int = 1
     max_train_steps: int = 5_000_000
     solve_threshold: float = 200.0
 
@@ -346,7 +350,7 @@ class PPOLSTMTrainer(Trainer):
             h, out = self.net.apply(params, h, xx, method="cell")
             return h, out
 
-        _, outs = jax.lax.scan(step, h0, feats)
+        _, outs = jax.lax.scan(step, h0, feats, unroll=self.cfg.cell_unroll)
         logits, values = self.net.apply(
             params, jnp.swapaxes(outs, 0, 1), method="heads"
         )
