@@ -64,6 +64,37 @@ def masked_mean(x: jax.Array, mask: jax.Array, eps: float = 1e-8) -> jax.Array:
     return jnp.sum(x * mask) / (jnp.sum(mask) + eps)
 
 
+def assert_flat_tp_ok(mesh) -> None:
+    """flat_optimizer guard, shared by every PPO-family trainer: the flat
+    master vector cannot carry per-leaf TP layouts. Call from __init__
+    (covers externally restored TrainStates, which never pass init())."""
+    assert mesh is None or mesh.shape.get("model", 1) == 1, (
+        "flat_optimizer is incompatible with model-axis TP"
+    )
+
+
+def flat_opt_target(params, flat: bool):
+    """What the optimizer is initialized over: the raveled master vector
+    (flat) or the param pytree."""
+    if flat:
+        from jax.flatten_util import ravel_pytree
+
+        return ravel_pytree(params)[0]
+    return params
+
+
+def flat_params_repr(params, flat: bool):
+    """(params0, unravel) for a train_iter's SGD scans: the flat master
+    vector + its unraveler, or the pytree + identity. One fused Adam over
+    one wide vector instead of ~6 ops × ~12 leaves per grad step — the r4
+    flagship win, shared across ppo/ppo_full/ppo_rnn/ppg/ppo_lstm."""
+    if flat:
+        from jax.flatten_util import ravel_pytree
+
+        return ravel_pytree(params)
+    return params, lambda p: p
+
+
 def pack_fields(data: dict) -> tuple[jax.Array, dict]:
     """Pack a dict of [n, ...] arrays into ONE [n, F] f32 matrix + layout spec.
 

@@ -46,7 +46,9 @@ import jax.numpy as jnp
 import optax
 import flax.linen as nn
 
-from gymrl_tpu.algos.base import IterOut, masked_mean, pack_fields, unpack_fields
+from gymrl_tpu.algos.base import (
+    IterOut, flat_params_repr, masked_mean, pack_fields, unpack_fields,
+)
 from gymrl_tpu.algos.ppo_rnn import (
     PPORNNConfig,
     PPORNNTrainer,
@@ -144,7 +146,7 @@ class PPGTrainer(PPORNNTrainer):
             h, out = self.net.apply(params, h, x, method="cell")
             return h, out
 
-        _, outs = jax.lax.scan(step, h0, feats)
+        _, outs = jax.lax.scan(step, h0, feats, unroll=self.cfg.cell_unroll)
         logits, aux = self.net.apply(
             params, jnp.swapaxes(outs, 0, 1), method="aux_heads"
         )
@@ -195,14 +197,11 @@ class PPGTrainer(PPORNNTrainer):
         # Optimizer representation: flat master vector (one fused Adam per
         # grad step in BOTH phases) or the param pytree — see
         # PPORNNConfig.flat_optimizer (inherited).
+        params0, unravel = flat_params_repr(ts.params, cfg.flat_optimizer)
         if cfg.flat_optimizer:
-            from jax.flatten_util import ravel_pytree
-
-            params0, unravel = ravel_pytree(ts.params)
             loss_fn = lambda p, mb: self._loss(unravel(p), mb)
             aux_loss_fn = lambda p, mb: self._aux_loss(unravel(p), mb)
         else:
-            params0, unravel = ts.params, lambda p: p
             loss_fn, aux_loss_fn = self._loss, self._aux_loss
 
         def phase1_epoch(carry, k_epoch):

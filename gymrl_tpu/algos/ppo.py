@@ -39,7 +39,9 @@ import jax.numpy as jnp
 import optax
 import flax.linen as nn
 
-from gymrl_tpu.algos.base import IterOut, Trainer
+from gymrl_tpu.algos.base import (
+    IterOut, Trainer, assert_flat_tp_ok, flat_opt_target, flat_params_repr,
+)
 from gymrl_tpu.core.gae import compute_gae, standardize
 from gymrl_tpu.core.normalization import (
     RunningMeanStd,
@@ -196,9 +198,7 @@ class PPOTrainer(Trainer):
         # Guard here as well as in init(): a trainer fed an externally
         # built/restored TrainState never calls init(), but always __init__.
         if cfg.flat_optimizer:
-            assert mesh is None or mesh.shape.get("model", 1) == 1, (
-                "flat_optimizer is incompatible with model-axis TP"
-            )
+            assert_flat_tp_ok(mesh)
         self.venv = make_vec(cfg.env_name, cfg.num_envs)
         self.net = ActorCritic(self.venv.env.n_actions, cfg.hidden_dim)
         # inject_hyperparams exposes lr for in-jit annealing (ref :337-341)
@@ -241,14 +241,8 @@ class PPOTrainer(Trainer):
         obs_dim = self.venv.env.obs_dim
         params = self.net.init(k_params, jnp.zeros((1, obs_dim)))
         if self.cfg.flat_optimizer:
-            from jax.flatten_util import ravel_pytree
-
-            assert self.mesh is None or self.mesh.shape.get("model", 1) == 1, (
-                "flat_optimizer is incompatible with model-axis TP"
-            )
-            opt_target = ravel_pytree(params)[0]
-        else:
-            opt_target = params
+            assert_flat_tp_ok(self.mesh)
+        opt_target = flat_opt_target(params, self.cfg.flat_optimizer)
         ts = PPOTrainState(
             params=params,
             opt_state=self.tx.init(opt_target),
@@ -427,14 +421,11 @@ class PPOTrainer(Trainer):
 
         # Optimizer representation: flat master vector (one fused Adam) or
         # the param pytree — see PPOConfig.flat_optimizer.
-        if cfg.flat_optimizer:
-            from jax.flatten_util import ravel_pytree
-
-            params0, unravel = ravel_pytree(ts.params)
-            loss_fn = lambda p, *a: self._loss(unravel(p), *a)
-        else:
-            params0, unravel = ts.params, lambda p: p
-            loss_fn = self._loss
+        params0, unravel = flat_params_repr(ts.params, cfg.flat_optimizer)
+        loss_fn = (
+            (lambda p, *a: self._loss(unravel(p), *a))
+            if cfg.flat_optimizer else self._loss
+        )
 
         def epoch(carry, k_epoch):
             params, opt_state = carry

@@ -35,7 +35,10 @@ import jax.numpy as jnp
 import optax
 import flax.linen as nn
 
-from gymrl_tpu.algos.base import IterOut, Trainer, pack_fields, unpack_fields
+from gymrl_tpu.algos.base import (
+    IterOut, Trainer, assert_flat_tp_ok, flat_opt_target, flat_params_repr,
+    pack_fields, unpack_fields,
+)
 from gymrl_tpu.core.gae import compute_gae_dual_lambda, standardize
 from gymrl_tpu.envs.registry import make_vec
 from gymrl_tpu.nn import initializers as gl_init
@@ -188,20 +191,13 @@ class PPOFullTrainer(Trainer):
             optax.inject_hyperparams(optax.adam)(learning_rate=cfg.lr),
         )
         if cfg.flat_optimizer:
-            assert mesh is None or mesh.shape.get("model", 1) == 1, (
-                "flat_optimizer is incompatible with model-axis TP"
-            )
+            assert_flat_tp_ok(mesh)
 
     def init(self, key, _place: bool = True) -> FullTrainState:
         k_params, k_env, k_iter = jax.random.split(key, 3)
         obs_dim = self.venv.env.obs_dim
         params = self.net.init(k_params, jnp.zeros((1, obs_dim)))
-        if self.cfg.flat_optimizer:
-            from jax.flatten_util import ravel_pytree
-
-            opt_target = ravel_pytree(params)[0]
-        else:
-            opt_target = params
+        opt_target = flat_opt_target(params, self.cfg.flat_optimizer)
         ts = FullTrainState(
             params=params,
             opt_state=self.tx.init(opt_target),
@@ -325,14 +321,11 @@ class PPOFullTrainer(Trainer):
 
         # Optimizer representation: flat master vector (one fused Adam) or
         # the param pytree — see PPOFullConfig.flat_optimizer.
-        if cfg.flat_optimizer:
-            from jax.flatten_util import ravel_pytree
-
-            params0, unravel = ravel_pytree(ts.params)
-            loss_fn = lambda p, mb, ec: self._loss(unravel(p), mb, ec)
-        else:
-            params0, unravel = ts.params, lambda p: p
-            loss_fn = self._loss
+        params0, unravel = flat_params_repr(ts.params, cfg.flat_optimizer)
+        loss_fn = (
+            (lambda p, mb, ec: self._loss(unravel(p), mb, ec))
+            if cfg.flat_optimizer else self._loss
+        )
 
         def epoch(carry, k_epoch):
             params, opt_state = carry

@@ -37,7 +37,10 @@ import jax.numpy as jnp
 import optax
 import flax.linen as nn
 
-from gymrl_tpu.algos.base import IterOut, Trainer, masked_mean, pack_fields, unpack_fields
+from gymrl_tpu.algos.base import (
+    IterOut, Trainer, assert_flat_tp_ok, flat_opt_target, flat_params_repr,
+    masked_mean, pack_fields, unpack_fields,
+)
 from gymrl_tpu.core.gae import compute_gae_dual_lambda, standardize
 from gymrl_tpu.envs.registry import make_vec
 from gymrl_tpu.nn.layers import PSCN
@@ -207,9 +210,7 @@ class PPOLSTMTrainer(Trainer):
             optax.inject_hyperparams(optax.adam)(learning_rate=cfg.lr, eps=cfg.adam_eps),
         )
         if cfg.flat_optimizer:
-            assert mesh is None or mesh.shape.get("model", 1) == 1, (
-                "flat_optimizer is incompatible with model-axis TP"
-            )
+            assert_flat_tp_ok(mesh)
         self._eval_cache: dict = {}
 
     def init(self, key, _place: bool = True) -> LSTMTrainState:
@@ -218,12 +219,7 @@ class PPOLSTMTrainer(Trainer):
         obs_dim = self.venv.env.obs_dim
         h0 = jnp.zeros((1, self.net.packed_hidden), jnp.float32)
         params = self.net.init(k_params, h0, jnp.zeros((1, obs_dim)))
-        if cfg.flat_optimizer:
-            from jax.flatten_util import ravel_pytree
-
-            opt_target = ravel_pytree(params)[0]
-        else:
-            opt_target = params
+        opt_target = flat_opt_target(params, cfg.flat_optimizer)
         ts = LSTMTrainState(
             params=params,
             opt_state=self.tx.init(opt_target),
@@ -453,14 +449,11 @@ class PPOLSTMTrainer(Trainer):
         # the param pytree — see PPOLSTMConfig.flat_optimizer. The frozen
         # RND target rides along with zero grads (stop_gradient), so its
         # Adam moments stay zero and it never moves, flat or not.
-        if cfg.flat_optimizer:
-            from jax.flatten_util import ravel_pytree
-
-            params0, unravel = ravel_pytree(ts.params)
-            loss_fn = lambda p, mb, ec: self._loss(unravel(p), mb, ec)
-        else:
-            params0, unravel = ts.params, lambda p: p
-            loss_fn = self._loss
+        params0, unravel = flat_params_repr(ts.params, cfg.flat_optimizer)
+        loss_fn = (
+            (lambda p, mb, ec: self._loss(unravel(p), mb, ec))
+            if cfg.flat_optimizer else self._loss
+        )
 
         def epoch(carry, k_epoch):
             params, opt_state = carry

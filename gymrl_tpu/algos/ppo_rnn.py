@@ -38,7 +38,10 @@ import jax.numpy as jnp
 import optax
 import flax.linen as nn
 
-from gymrl_tpu.algos.base import IterOut, Trainer, masked_mean, pack_fields, unpack_fields
+from gymrl_tpu.algos.base import (
+    IterOut, Trainer, assert_flat_tp_ok, flat_opt_target, flat_params_repr,
+    masked_mean, pack_fields, unpack_fields,
+)
 from gymrl_tpu.core.gae import compute_gae, standardize
 from gymrl_tpu.core.normalization import (
     RewardScaler,
@@ -210,9 +213,7 @@ class PPORNNTrainer(Trainer):
             optax.adam(cfg.lr, eps=cfg.adam_eps),
         )
         if cfg.flat_optimizer:
-            assert mesh is None or mesh.shape.get("model", 1) == 1, (
-                "flat_optimizer is incompatible with model-axis TP"
-            )
+            assert_flat_tp_ok(mesh)
         self._eval_cache: dict = {}
 
     def init(self, key, _place: bool = True) -> RNNTrainState:
@@ -221,12 +222,7 @@ class PPORNNTrainer(Trainer):
         obs_dim = self.venv.env.obs_dim
         h0 = jnp.zeros((1, self.net.rnn_size), jnp.float32)
         params = self.net.init(k_params, h0, jnp.zeros((1, obs_dim)))
-        if self.cfg.flat_optimizer:
-            from jax.flatten_util import ravel_pytree
-
-            opt_target = ravel_pytree(params)[0]
-        else:
-            opt_target = params
+        opt_target = flat_opt_target(params, self.cfg.flat_optimizer)
         ts = RNNTrainState(
             params=params,
             opt_state=self.tx.init(opt_target),
@@ -501,14 +497,11 @@ class PPORNNTrainer(Trainer):
 
         # Optimizer representation: flat master vector (one fused Adam) or
         # the param pytree — see PPORNNConfig.flat_optimizer.
-        if cfg.flat_optimizer:
-            from jax.flatten_util import ravel_pytree
-
-            params0, unravel = ravel_pytree(ts.params)
-            loss_fn = lambda p, mb: self._loss(unravel(p), mb)
-        else:
-            params0, unravel = ts.params, lambda p: p
-            loss_fn = self._loss
+        params0, unravel = flat_params_repr(ts.params, cfg.flat_optimizer)
+        loss_fn = (
+            (lambda p, mb: self._loss(unravel(p), mb))
+            if cfg.flat_optimizer else self._loss
+        )
 
         def epoch(carry, k_epoch):
             params, opt_state = carry

@@ -112,7 +112,12 @@ class TrainLoop:
                     curve.append((env_steps, round(avg, 1)))
                     last = window[-1] if window else float("nan")
                     sps = (env_steps - steps0) / max(time.time() - t0, 1e-9)
-                    metrics = {k: float(v) for k, v in out.metrics.items()}
+                    # one bundled fetch for the whole metrics dict — same
+                    # RTT argument as the per-iter bundle above
+                    metrics = {
+                        k: float(v)
+                        for k, v in jax.device_get(out.metrics).items()
+                    }
                     self.writer.log(
                         {"reward/avg100": avg, "steps_per_s": sps, **metrics}, env_steps
                     )

@@ -43,6 +43,30 @@ def save_checkpoint(path: str, ts: Any, step: int | None = None) -> str:
     return path
 
 
+def _graft_by_name(example: Any, raw: Any) -> Any:
+    """Rebuild ``example``'s pytree structure from a RAW (item-less) Orbax
+    restore. NamedTuples come back as plain dicts keyed by FIELD NAME, so
+    leaves must be matched by name — flattened order differs (dict keys
+    sort alphabetically; NamedTuple fields don't). Raises KeyError/TypeError
+    on any structural mismatch (handled per-field by the caller)."""
+    if example is None:
+        return None
+    if hasattr(example, "_fields"):  # NamedTuple → dict on disk
+        return type(example)(
+            **{f: _graft_by_name(getattr(example, f), raw[f]) for f in example._fields}
+        )
+    if isinstance(example, dict):
+        return {k: _graft_by_name(example[k], raw[k]) for k in example}
+    if isinstance(example, (list, tuple)):
+        if len(raw) != len(example):
+            raise KeyError("sequence length mismatch")
+        vals = [_graft_by_name(e, raw[i]) for i, e in enumerate(example)]
+        return type(example)(vals) if isinstance(example, list) else tuple(vals)
+    if isinstance(raw, (dict, list, tuple)):  # leaf expected, subtree found
+        raise KeyError("structure mismatch at leaf")
+    return raw
+
+
 def restore_checkpoint(path: str, example_ts: Any) -> Any:
     """Restore into the structure AND sharding layout of ``example_ts``
     (fresh-init TrainState).
@@ -54,10 +78,41 @@ def restore_checkpoint(path: str, example_ts: Any) -> Any:
     partitioned exactly as training left them (a bare `jnp.asarray` here
     would land everything replicated on device 0 and silently break DP/TP
     resume).
+
+    Optimizer-representation drift (r5): if the on-disk opt_state structure
+    does not match the example's — e.g. a checkpoint written before the
+    flat_optimizer default flip, or with the flag toggled — the restore does
+    NOT fail over to training from scratch. Instead every field that still
+    matches (params, normalization stats, env state, counters, RNG) is
+    grafted by name from a raw restore and only the mismatched fields keep
+    their fresh-init value (Adam moments rebuild within a few hundred
+    steps), with a loud per-field warning.
     """
+    import logging
+
     stripped = _strip_replay(example_ts)
+    path = os.path.abspath(path)
     with ocp.PyTreeCheckpointer() as ckptr:
-        restored = ckptr.restore(os.path.abspath(path), item=jax.device_get(stripped))
+        try:
+            restored = ckptr.restore(path, item=jax.device_get(stripped))
+        except ValueError:
+            if not hasattr(stripped, "_fields"):
+                raise
+            raw = ckptr.restore(path)  # dict keyed by NamedTuple field names
+            fields = {}
+            for f in stripped._fields:
+                ex_field = getattr(stripped, f)
+                try:
+                    fields[f] = _graft_by_name(ex_field, raw[f])
+                except (KeyError, TypeError, IndexError):
+                    logging.getLogger("gymrl").warning(
+                        f"checkpoint field '{f}' has an incompatible structure "
+                        f"(e.g. flat_optimizer changed since it was written); "
+                        f"keeping the fresh-init value for '{f}' and restoring "
+                        f"the rest"
+                    )
+                    fields[f] = ex_field
+            restored = type(stripped)(**fields)
     if hasattr(example_ts, "_replace") and hasattr(example_ts, "replay"):
         restored = restored._replace(replay=example_ts.replay)
 

@@ -96,3 +96,32 @@ def test_dqn_roundtrip_excludes_replay():
     assert int(restored.episodes) == int(ts.episodes)
     restored2, _ = trainer.train_iter(restored)
     assert int(restored2.replay.size) > 0
+
+
+def test_restore_across_flat_optimizer_flip_preserves_params():
+    """A checkpoint written with the pytree optimizer must restore into a
+    flat_optimizer trainer (and vice versa) WITHOUT silently restarting
+    from scratch: params/normalization/counters survive, only the
+    mismatched opt_state keeps its fresh value (r5 default-flip guard)."""
+    cfg = dict(env_name="CartPole-v1", num_envs=4, rollout_steps=8,
+               minibatch_size=8, num_epochs=1)
+    tr_old = PPOTrainer(PPOConfig(**cfg))
+    ts_old = tr_old.init(jax.random.PRNGKey(0))
+    ts_old, _ = tr_old.train_iter(ts_old)
+
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "ck")
+        save_checkpoint(path, ts_old)
+
+        tr_new = PPOTrainer(PPOConfig(**cfg, flat_optimizer=True))
+        ts_new = tr_new.init(jax.random.PRNGKey(1))
+        restored = restore_checkpoint(path, ts_new)
+
+        for a, b in zip(jax.tree_util.tree_leaves(ts_old.params),
+                        jax.tree_util.tree_leaves(restored.params)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        assert int(restored.env_steps) == int(ts_old.env_steps)
+        # opt_state stayed the flat fresh-init representation and training
+        # continues from the restored params
+        restored2, _ = tr_new.train_iter(restored)
+        assert int(restored2.env_steps) > int(ts_old.env_steps)
